@@ -1,0 +1,69 @@
+"""Variant-calling genotype classifier (TPU-native).
+
+Architecture parity with the reference's live model
+(pepper_variant/modules/python/models/simple_model.py:6-82):
+  biLSTM(F->256) -> biLSTM(512->256) -> dropout .2 -> flatten [B, 33*512]
+  -> 5 x (Linear 512 + SELU + dropout .2, last without dropout)
+  -> Linear(512 -> 3) type head -> softmax (inference).
+
+Functional: params are a pytree of jnp arrays whose names/shapes mirror the
+torch module attributes, so reference checkpoints map 1:1
+(models/checkpoint.py). Inference runs in bfloat16 on the MXU with float32
+softmax; training uses float32 params with bf16 matmuls via jax defaults.
+"""
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pepper_tpu.models.rnn import (init_linear_params, init_rnn_params, linear,
+                                   lstm)
+from pepper_tpu.options import ImageOptions
+
+Params = Dict
+
+
+def init_variant_params(key, image_features: int = ImageOptions.IMAGE_HEIGHT,
+                        num_classes_type: int = ImageOptions.TOTAL_TYPE_LABELS,
+                        window: int = ImageOptions.CANDIDATE_WINDOW_SIZE + 1,
+                        hidden: int = 256) -> Params:
+    ks = jax.random.split(key, 8)
+    flat = 2 * hidden * window
+    return {
+        "encoder": init_rnn_params(ks[0], image_features, hidden, gates=4),
+        "decoder": init_rnn_params(ks[1], 2 * hidden, hidden, gates=4),
+        "linear_1": init_linear_params(ks[2], flat, 512),
+        "linear_2": init_linear_params(ks[3], 512, 512),
+        "linear_3": init_linear_params(ks[4], 512, 512),
+        "linear_4": init_linear_params(ks[5], 512, 512),
+        "linear_5": init_linear_params(ks[6], 512, 512),
+        "output_layer_type": init_linear_params(ks[7], 512, num_classes_type),
+    }
+
+
+def _dropout(x, rate, key):
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def variant_forward(params: Params, x: jnp.ndarray, train_mode: bool = False,
+                    dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """x: [B, 33, F] float. Returns softmax probs [B,3] (or logits when
+    train_mode, matching the reference's train-time contract)."""
+    h = lstm(params["encoder"], x)
+    h = lstm(params["decoder"], h)
+    drop = train_mode and dropout_rng is not None
+    if drop:
+        keys = jax.random.split(dropout_rng, 5)
+        h = _dropout(h, 0.2, keys[0])
+    h = h.reshape(h.shape[0], -1)
+    for i, name in enumerate(["linear_1", "linear_2", "linear_3", "linear_4"]):
+        h = jax.nn.selu(linear(params[name], h))
+        if drop:
+            h = _dropout(h, 0.2, keys[i + 1])
+    h = jax.nn.selu(linear(params["linear_5"], h))
+    logits = linear(params["output_layer_type"], h)
+    if train_mode:
+        return logits
+    return jax.nn.softmax(logits, axis=-1)
