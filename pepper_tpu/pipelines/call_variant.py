@@ -1,0 +1,67 @@
+"""End-to-end `call_variant` pipeline driver.
+
+Parity: pepper_variant/modules/python/CallVariant.py:12-109 — validate
+inputs, create run-id'd stage directories, run make-images -> inference ->
+find-candidates. Every stage writes file artifacts so any stage can be
+re-run standalone (the de-facto checkpoint/resume system).
+"""
+import os
+import sys
+import time
+from datetime import datetime
+
+from pepper_tpu.options import PipelineConfig
+from pepper_tpu.pipelines.find_candidates import process_candidates
+from pepper_tpu.pipelines.make_images import generate_images
+from pepper_tpu.runtime.inference import run_inference
+
+
+def _log(msg: str) -> None:
+    sys.stderr.write("[" + datetime.now().strftime("%m-%d-%Y %H:%M:%S")
+                     + "] INFO: " + msg + "\n")
+    sys.stderr.flush()
+
+
+def validate_inputs(config: PipelineConfig) -> None:
+    """CallVariant.py:20-72."""
+    if not os.path.isfile(config.bam):
+        raise FileNotFoundError(f"BAM file {config.bam} does not exist")
+    if not os.path.isfile(config.bam + ".bai") and not os.path.isfile(
+            config.bam.rsplit(".", 1)[0] + ".bai"):
+        raise FileNotFoundError(f"BAM index {config.bam}.bai does not exist")
+    if not os.path.isfile(config.fasta):
+        raise FileNotFoundError(f"FASTA file {config.fasta} does not exist")
+    if not os.path.isfile(config.fasta + ".fai"):
+        raise FileNotFoundError(f"FASTA index {config.fasta}.fai does not exist")
+    if not config.dry and config.model_path and not os.path.isfile(config.model_path):
+        raise FileNotFoundError(f"Model file {config.model_path} does not exist")
+    if config.train_mode and not config.truth_vcf:
+        raise ValueError("train_mode requires --truth_vcf")
+
+
+def call_variant(config: PipelineConfig) -> dict:
+    """Run the 3-stage pipeline; returns the output VCF paths."""
+    start_time = time.time()
+    validate_inputs(config)
+    timestr = time.strftime("%m%d%Y_%H%M%S")
+    output_dir = config.output_dir
+    if not output_dir.endswith("/"):
+        output_dir += "/"
+    os.makedirs(output_dir, exist_ok=True)
+    image_dir = output_dir + f"images_{timestr}/"
+    prediction_dir = output_dir + f"predictions_{timestr}/"
+
+    _log(f"RUN-ID: {timestr}")
+    _log("STEP 1/3 GENERATING IMAGES:")
+    config.image_output_directory = image_dir
+    generate_images(config)
+
+    _log("STEP 2/3 RUNNING INFERENCE")
+    run_inference(config, image_dir, prediction_dir)
+
+    _log("STEP 3/3 FINDING CANDIDATES")
+    vcf_paths = process_candidates(config, prediction_dir, output_dir)
+
+    elapsed = time.time() - start_time
+    _log(f"TOTAL ELAPSED TIME: {int(elapsed // 60)} Min {int(elapsed % 60)} Sec")
+    return vcf_paths

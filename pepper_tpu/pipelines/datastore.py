@@ -1,0 +1,148 @@
+"""Stage-boundary stores (HDF5), schema-compatible with the reference.
+
+Image store:   summaries/<name>/{contigs,positions,depths,candidates,
+               candidate_frequency,images[,base_labels,type_label]}
+               (reference pepper_variant/modules/python/DataStore.py:54-71)
+Prediction:    predictions/batch_<n>/{contigs,positions,depths,candidates,
+               candidate_frequency,base_prediction}
+               (reference DataStorePredict.py:49-67)
+
+Every stage is files-in -> files-out, so each subcommand stays independently
+runnable and re-runnable (the de-facto checkpoint system, SURVEY.md §5.4).
+"""
+from dataclasses import dataclass
+from typing import Iterator, List, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+from pepper_tpu.encode.region_encoder import CandidateImage
+
+_VLEN_STR = h5py.special_dtype(vlen=str)
+
+
+def _decode_strs(row) -> List[str]:
+    return [s.decode() if isinstance(s, bytes) else str(s) for s in row]
+
+
+class ImageStore:
+    """Writer/reader for candidate-image summary files (*.h5)."""
+
+    def __init__(self, filename: str, mode: str = "r"):
+        self.filename = filename
+        self.fh = h5py.File(filename, mode)
+
+    def close(self):
+        self.fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def write_summary(self, summary_name: str,
+                      candidates: Sequence[CandidateImage],
+                      train_mode: bool = False) -> None:
+        if not candidates:
+            return
+        g = self.fh.create_group(f"summaries/{summary_name}")
+        g.create_dataset("contigs", data=np.array(
+            [c.contig for c in candidates], dtype="S"))
+        g.create_dataset("positions", data=np.array(
+            [c.position for c in candidates], dtype=np.int32))
+        g.create_dataset("depths", data=np.array(
+            [c.depth for c in candidates], dtype=np.uint8))
+        g.create_dataset("candidates", data=np.array(
+            [c.candidates for c in candidates], dtype=object),
+            dtype=_VLEN_STR)
+        g.create_dataset("candidate_frequency", data=np.array(
+            [c.candidate_frequency for c in candidates], dtype=np.uint8))
+        g.create_dataset("images", data=np.stack(
+            [c.image for c in candidates]).astype(np.int8))
+        if train_mode:
+            g.create_dataset("base_labels", data=np.array(
+                [c.base_label for c in candidates], dtype=np.uint8))
+            g.create_dataset("type_label", data=np.array(
+                [c.type_label for c in candidates], dtype=np.uint8))
+
+    def summary_names(self) -> List[str]:
+        return list(self.fh["summaries"].keys()) if "summaries" in self.fh else []
+
+    def read_summary(self, summary_name: str, train_mode: bool = False):
+        g = self.fh[f"summaries/{summary_name}"]
+        out = dict(
+            contigs=[c.decode() for c in g["contigs"][()]],
+            positions=g["positions"][()],
+            depths=g["depths"][()],
+            candidates=[_decode_strs(row) for row in g["candidates"][()]],
+            candidate_frequency=g["candidate_frequency"][()],
+            images=g["images"][()],
+        )
+        if train_mode and "base_labels" in g:
+            out["base_labels"] = g["base_labels"][()]
+            out["type_label"] = g["type_label"][()]
+        return out
+
+
+@dataclass
+class PredictionBatch:
+    contigs: List[str]
+    positions: np.ndarray
+    depths: np.ndarray
+    candidates: List[List[str]]
+    candidate_frequency: np.ndarray
+    base_prediction: np.ndarray    # [N, 3] float
+
+
+class PredictionStore:
+    """Writer/reader for per-batch prediction files (*.h5)."""
+
+    def __init__(self, filename: str, mode: str = "r"):
+        self.filename = filename
+        self.fh = h5py.File(filename, mode)
+
+    def close(self):
+        self.fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def write_prediction(self, batch_no: int, contigs, positions, depths,
+                         candidates, candidate_frequency,
+                         base_predictions) -> None:
+        g = self.fh.create_group(f"predictions/batch_{batch_no}")
+        g.create_dataset("contigs", data=np.array(contigs, dtype="S"))
+        g.create_dataset("positions", data=np.asarray(positions, np.int32))
+        g.create_dataset("depths", data=np.asarray(depths, np.uint8))
+        g.create_dataset("candidates", data=np.array(candidates, dtype=object),
+                         dtype=_VLEN_STR)
+        g.create_dataset("candidate_frequency",
+                         data=np.asarray(candidate_frequency, np.uint8))
+        g.create_dataset("base_prediction",
+                         data=np.asarray(base_predictions, np.float64))
+
+    def batch_names(self) -> List[str]:
+        return (list(self.fh["predictions"].keys())
+                if "predictions" in self.fh else [])
+
+    def read_batch(self, name: str) -> PredictionBatch:
+        g = self.fh[f"predictions/{name}"]
+        return PredictionBatch(
+            contigs=[c.decode() for c in g["contigs"][()]],
+            positions=g["positions"][()],
+            depths=g["depths"][()],
+            candidates=[_decode_strs(row) for row in g["candidates"][()]],
+            candidate_frequency=g["candidate_frequency"][()],
+            base_prediction=g["base_prediction"][()])
+
+
+def iter_prediction_batches(files: Sequence[str]) -> Iterator[Tuple[str, str]]:
+    """(file, batch) pairs across prediction files (FindCandidates.py:156-166)."""
+    for path in files:
+        with PredictionStore(path, "r") as store:
+            for name in store.batch_names():
+                yield path, name

@@ -1,0 +1,236 @@
+"""Stage 3 — prediction post-processing into candidate variants + VCFs.
+
+Parity source: pepper_variant/modules/python/CandidateFinder.py (homopolymer
+repeat annotation, Margin-SNP list + DeepVariant list with per-type p-value
+thresholds and frequency overrides, positional de-dup) and FindCandidates.py
+(driver + 5-VCF output + telemetry counts).
+"""
+import concurrent.futures
+import os
+import sys
+import time
+from collections import defaultdict
+from datetime import datetime
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from pepper_tpu.io.fasta import FastaReader
+from pepper_tpu.io.vcf import VCFWriteEngine
+from pepper_tpu.options import PipelineConfig
+from pepper_tpu.pipelines.datastore import (PredictionStore,
+                                            iter_prediction_batches)
+from pepper_tpu.runtime.inference import image_files
+
+
+def repeat_annotation(sequence: str, kmer_size: int) -> List[int]:
+    """k-mer repeat counts per position (CandidateFinder.py:279-297)."""
+    max_observed = [1] * len(sequence)
+    for i in range(len(sequence) - (kmer_size - 1)):
+        kmer_count = 0
+        end_index = i + (kmer_size - 1)
+        for j in range(i, len(sequence), kmer_size):
+            if sequence[i:i + kmer_size] == sequence[j:j + kmer_size]:
+                kmer_count += 1
+            else:
+                break
+            end_index = j + kmer_size
+        for k in range(i, min(len(sequence), end_index)):
+            max_observed[k] = max(max_observed[k], kmer_count)
+    return max_observed
+
+
+def _valid_allele(allele: str) -> bool:
+    return all(b in "ACGT" for b in allele)
+
+
+def small_chunk_stitch(config: PipelineConfig,
+                       file_chunks: List[Tuple[str, str]]):
+    """Per-(file,batch) candidate selection (CandidateFinder.py:356-531)."""
+    fasta = FastaReader(config.fasta)
+    margin_list = []
+    deepvariant_list = []
+    for file_name, batch_key in file_chunks:
+        with PredictionStore(file_name, "r") as store:
+            batch = store.read_batch(batch_key)
+        for i in range(len(batch.contigs)):
+            contig = batch.contigs[i]
+            position = int(batch.positions[i])
+            depth = int(batch.depths[i])
+            cand_strings = batch.candidates[i]
+            cand_freqs = [int(f) for f in
+                          np.atleast_1d(batch.candidate_frequency[i])]
+            prediction_base = batch.base_prediction[i]
+
+            reference_base = fasta.get_reference_sequence(
+                contig, position, position + 1).upper()
+            reference_upstream = fasta.get_reference_sequence(
+                contig, position, position + 10).upper()
+            reference_downstream = fasta.get_reference_sequence(
+                contig, max(0, position - 10), position).upper()
+            full_sequence = reference_downstream + reference_upstream
+
+            homopolymer_repeats = repeat_annotation(full_sequence, 1)
+            position_index = len(reference_downstream)
+            up = min(len(homopolymer_repeats), position_index + 4)
+            down = max(0, position_index - 5)
+            candidate_in_repeat = max(homopolymer_repeats[down:up]) >= 5
+
+            if reference_base not in "ACGT":
+                continue
+
+            predicted_genotype = int(np.argmax(prediction_base))
+            genotype = ([0, 0], [0, 1], [1, 1])[predicted_genotype]
+            prediction_value = float(prediction_base[predicted_genotype])
+
+            # Margin list: SNPs only, non-hom-ref prediction
+            alt_alleles, support = [], []
+            for alt_allele, freq in zip(cand_strings, cand_freqs):
+                alt_type, allele = alt_allele[0], alt_allele[1:]
+                if not _valid_allele(allele):
+                    continue
+                if alt_type == "1" and predicted_genotype != 0:
+                    alt_alleles.append(allele)
+                    support.append(freq)
+            if alt_alleles:
+                margin_list.append((
+                    contig, position, position + 1, reference_base,
+                    alt_alleles, genotype, depth, support,
+                    prediction_value, list(map(float, prediction_base))))
+
+            # DeepVariant list: per-type p-value gates + freq overrides
+            alt_alleles, support = [], []
+            reference_allele = reference_base
+            non_alt_predictions = []
+            for alt_allele, freq in zip(cand_strings, cand_freqs):
+                alt_type, allele = alt_allele[0], alt_allele[1:]
+                if not _valid_allele(allele):
+                    continue
+                vaf = float(freq) / float(depth) if depth else 0.0
+                non_alt_prediction = float(
+                    max(prediction_base[1], prediction_base[2]))
+                non_alt_predictions.append(non_alt_prediction)
+                if alt_type == "1":
+                    if (not candidate_in_repeat
+                            and non_alt_prediction >= config.snp_p_value):
+                        alt_alleles.append(allele); support.append(freq)
+                    elif (candidate_in_repeat
+                          and non_alt_prediction >= config.snp_p_value_in_lc):
+                        alt_alleles.append(allele); support.append(freq)
+                    elif 0 < config.report_snp_above_freq <= vaf:
+                        alt_alleles.append(allele); support.append(freq)
+                elif alt_type == "2":
+                    if (not candidate_in_repeat
+                            and non_alt_prediction >= config.insert_p_value):
+                        alt_alleles.append(allele); support.append(freq)
+                    elif (candidate_in_repeat
+                          and non_alt_prediction >= config.insert_p_value_in_lc):
+                        alt_alleles.append(allele); support.append(freq)
+                    elif 0 < config.report_indel_above_freq <= vaf:
+                        alt_alleles.append(allele); support.append(freq)
+                elif alt_type == "3":
+                    if (not candidate_in_repeat
+                            and non_alt_prediction >= config.delete_p_value):
+                        alt_alleles.append(reference_allele)
+                        reference_allele = allele
+                        support.append(freq)
+                    elif (candidate_in_repeat
+                          and non_alt_prediction >= config.delete_p_value_in_lc):
+                        alt_alleles.append(reference_allele)
+                        reference_allele = allele
+                        support.append(freq)
+                    elif 0 < config.report_indel_above_freq <= vaf:
+                        alt_alleles.append(allele); support.append(freq)
+            if alt_alleles:
+                deepvariant_list.append((
+                    contig, position, position + len(reference_allele),
+                    reference_allele, alt_alleles, genotype, depth, support,
+                    prediction_value, list(map(float, prediction_base)),
+                    non_alt_predictions, candidate_in_repeat))
+    fasta.close()
+    return margin_list, deepvariant_list
+
+
+def _chunks(pairs: List, size: int) -> List[List]:
+    return [pairs[i:i + size] for i in range(0, len(pairs), size)]
+
+
+def find_candidates(config: PipelineConfig, prediction_files: List[str]):
+    """Aggregate all batches (CandidateFinder.find_candidates:532-581)."""
+    pairs = list(iter_prediction_batches(prediction_files))
+    margin_all, dv_all = [], []
+    if config.threads > 1 and len(pairs) > 1:
+        chunk_size = max(2, len(pairs) // config.threads + 1)
+        with concurrent.futures.ProcessPoolExecutor(
+                max_workers=config.threads) as pool:
+            futures = [pool.submit(small_chunk_stitch, config, c)
+                       for c in _chunks(pairs, chunk_size)]
+            for fut in concurrent.futures.as_completed(futures):
+                exc = fut.exception()
+                if exc is not None:
+                    raise RuntimeError(
+                        f"candidate-finding shard failed: {exc}") from exc
+                m, d = fut.result()
+                margin_all.extend(m)
+                dv_all.extend(d)
+    else:
+        margin_all, dv_all = small_chunk_stitch(config, pairs)
+
+    margin_all.sort(key=lambda x: (x[0], x[1]))
+    dv_all.sort(key=lambda x: (x[0], x[1]))
+
+    margin_dict = defaultdict(list)
+    margin_alts = defaultdict(list)
+    for cand in margin_all:
+        key, pair = (cand[0], cand[1]), (cand[3], cand[4][0])
+        if pair in margin_alts[key]:
+            continue
+        margin_alts[key].append(pair)
+        margin_dict[key].append(cand)
+
+    contigs = []
+    dv_dict = defaultdict(list)
+    dv_alts = defaultdict(list)
+    for cand in dv_all:
+        if cand[0] not in contigs:
+            contigs.append(cand[0])
+        key, pair = (cand[0], cand[1]), (cand[3], cand[4][0])
+        if pair in dv_alts[key]:
+            continue
+        dv_alts[key].append(pair)
+        dv_dict[key].append(cand)
+    return contigs, margin_dict, dv_dict
+
+
+def _log(msg: str) -> None:
+    sys.stderr.write("[" + datetime.now().strftime("%m-%d-%Y %H:%M:%S")
+                     + "] INFO: " + msg + "\n")
+    sys.stderr.flush()
+
+
+def process_candidates(config: PipelineConfig, input_dir: str,
+                       output_dir: str) -> Dict[str, str]:
+    """Stage-3 driver (FindCandidates.candidate_finder). Returns VCF paths."""
+    os.makedirs(output_dir, exist_ok=True)
+    prediction_files = image_files(input_dir) or sorted(
+        os.path.join(input_dir, f) for f in os.listdir(input_dir)
+        if f.endswith("hdf"))
+    t0 = time.time()
+    _log("STARTING CANDIDATE FINDING.")
+    contigs, _margin, dv_candidates = find_candidates(config, prediction_files)
+
+    with FastaReader(config.fasta) as fa:
+        fasta_contigs = [(name, fa.get_chromosome_sequence_length(name))
+                         for name in fa.get_chromosome_names()]
+    writer = VCFWriteEngine(fasta_contigs, config.sample_name,
+                            output_dir if output_dir.endswith("/")
+                            else output_dir + "/")
+    totals = writer.write_vcf_records(dv_candidates, config)
+    writer.close()
+    _log(f"TOTAL CANDIDATES FOUND: {totals[0]}")
+    _log(f"TOTAL VARIANTS IN PEPPER: {totals[1]}")
+    _log(f"TOTAL VARIANTS SELECTED FOR RE-GENOTYPING: {totals[2]}")
+    _log(f"TOTAL SNP VARIANTS SELECTED FOR RE-GENOTYPING: {totals[3]}")
+    _log(f"TOTAL INDEL VARIANTS SELECTED FOR RE-GENOTYPING: {totals[4]}")
+    _log(f"TOTAL TIME SPENT ON CANDIDATE FINDING: {time.time() - t0:.1f}s")
+    return writer.paths

@@ -1,0 +1,137 @@
+"""Stage 2 — batched device inference over candidate images.
+
+Replaces the reference's ONNX-export + per-process onnxruntime scheme
+(pepper_variant/modules/python/models/predict_distributed_cpu.py): here the
+jitted forward IS the compiled artifact (XLA persistent compilation cache
+plays the role of the cached .onnx), batches are fixed-shape (pad the tail)
+so one compilation serves the whole run, and data parallelism is a sharded
+batch axis over the device mesh instead of process replicas.
+
+The '--dry' oracle backend reproduces predict_distributed_cpu_fake.py:
+labeled images' type labels are emitted as one-hot predictions, exercising
+the image->prediction->candidate->VCF plumbing without a model.
+"""
+import glob
+import os
+import sys
+import time
+from datetime import datetime
+from typing import List, Optional
+
+import numpy as np
+
+from pepper_tpu.options import ImageOptions, PipelineConfig
+from pepper_tpu.pipelines.datastore import ImageStore, PredictionStore
+
+
+def _log(msg: str) -> None:
+    sys.stderr.write("[" + datetime.now().strftime("%m-%d-%Y %H:%M:%S")
+                     + "] INFO: " + msg + "\n")
+    sys.stderr.flush()
+
+
+def image_files(image_dir: str) -> List[str]:
+    return sorted(glob.glob(os.path.join(image_dir, "*.hdf5"))
+                  + glob.glob(os.path.join(image_dir, "*.h5")))
+
+
+def load_all_summaries(image_dir: str, train_mode: bool = False):
+    """Eager load of every summary group (reference dataloader_predict.py)."""
+    contigs, positions, depths, candidates, freqs, images = [], [], [], [], [], []
+    labels = []
+    for path in image_files(image_dir):
+        with ImageStore(path, "r") as store:
+            for name in store.summary_names():
+                s = store.read_summary(name, train_mode=train_mode)
+                contigs.extend(s["contigs"])
+                positions.append(s["positions"])
+                depths.append(s["depths"])
+                candidates.extend(s["candidates"])
+                freqs.append(s["candidate_frequency"])
+                images.append(s["images"])
+                if train_mode and "type_label" in s:
+                    labels.append(s["type_label"])
+    if not images:
+        return None
+    out = dict(
+        contigs=contigs,
+        positions=np.concatenate(positions),
+        depths=np.concatenate(depths),
+        candidates=candidates,
+        candidate_frequency=np.concatenate(freqs),
+        images=np.concatenate(images),
+    )
+    if labels:
+        out["type_label"] = np.concatenate(labels)
+    return out
+
+
+def _load_model_params(model_path: str):
+    from pepper_tpu.models import checkpoint as ckpt
+    if model_path.endswith(".npz"):
+        params, _ = ckpt.load_checkpoint(model_path)
+    else:
+        params, _ = ckpt.load_torch_checkpoint(model_path)
+    return params
+
+
+def run_inference(config: PipelineConfig, image_dir: str,
+                  output_dir: str) -> str:
+    """Run stage 2; writes pepper_predictions.hdf into output_dir."""
+    os.makedirs(output_dir, exist_ok=True)
+    data = load_all_summaries(image_dir, train_mode=config.dry)
+    out_path = os.path.join(output_dir, "pepper_predictions.hdf")
+    if data is None:
+        _log("NO CANDIDATE IMAGES FOUND; EMPTY PREDICTIONS.")
+        PredictionStore(out_path, "w").close()
+        return out_path
+    n = len(data["contigs"])
+    t0 = time.time()
+
+    if config.dry:
+        if "type_label" not in data:
+            raise ValueError("--dry requires labeled images (train_mode)")
+        preds = np.zeros((n, ImageOptions.TOTAL_TYPE_LABELS), dtype=np.float64)
+        preds[np.arange(n), data["type_label"]] = 1.0
+    else:
+        preds = _model_predictions(config, data["images"])
+
+    batch_size = config.batch_size
+    with PredictionStore(out_path, "w") as store:
+        for b, lo in enumerate(range(0, n, batch_size)):
+            hi = min(lo + batch_size, n)
+            store.write_prediction(
+                b, data["contigs"][lo:hi], data["positions"][lo:hi],
+                data["depths"][lo:hi], data["candidates"][lo:hi],
+                data["candidate_frequency"][lo:hi], preds[lo:hi])
+    _log(f"INFERENCE COMPLETE: {n} CANDIDATES [{time.time() - t0:.1f}s]")
+    return out_path
+
+
+def _model_predictions(config: PipelineConfig, images: np.ndarray) -> np.ndarray:
+    import jax
+    import jax.numpy as jnp
+
+    from pepper_tpu.models.variant_model import variant_forward
+    from pepper_tpu.parallel.mesh import (data_mesh, pad_to_multiple,
+                                          replicate, shard_batch)
+
+    params = _load_model_params(config.model_path)
+    mesh = data_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    batch = pad_to_multiple(config.batch_size, n_dev)
+    params = replicate(mesh, jax.tree_util.tree_map(jnp.asarray, params))
+    fwd = jax.jit(variant_forward)
+
+    n = images.shape[0]
+    out = np.zeros((n, ImageOptions.TOTAL_TYPE_LABELS), dtype=np.float64)
+    for lo in range(0, n, batch):
+        hi = min(lo + batch, n)
+        x = images[lo:hi].astype(np.float32)
+        if hi - lo < batch:  # pad the tail so one compilation serves all
+            x = np.concatenate(
+                [x, np.zeros((batch - (hi - lo),) + x.shape[1:], np.float32)])
+        x = shard_batch(mesh, jnp.asarray(x))
+        probs = np.asarray(fwd(params, x))
+        out[lo:hi] = probs[: hi - lo]
+    return out

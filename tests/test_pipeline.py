@@ -1,0 +1,124 @@
+"""End-to-end pipeline tests using the oracle ('--dry') backend.
+
+Reproduces the reference's only integration-test mechanism
+(predict_distributed_cpu_fake.py): labeled images' type labels become
+one-hot predictions, exercising images -> predictions -> candidates -> VCF
+without a trained model. Planted variants must come back as correctly
+genotyped VCF records.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from pepper_tpu.io.vcf import read_vcf
+from pepper_tpu.options import PipelineConfig
+from pepper_tpu.pipelines.find_candidates import process_candidates
+from pepper_tpu.pipelines.make_images import generate_images
+from pepper_tpu.pipelines.merge_variants import merge_variants
+from pepper_tpu.presets import set_parameters
+from pepper_tpu.runtime.inference import run_inference
+from tests.util.synth import (plant_variants, random_genome, simulate_reads,
+                              write_dataset, write_truth_vcf)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("e2e"))
+    genome = random_genome(20000, seed=11)
+    variants = plant_variants(dict(genome), n_snp=6, n_ins=3, n_del=3, seed=17)
+    records = simulate_reads(genome, variants, coverage=40, seed=23)
+    fasta, bam = write_dataset(tmp, genome, records)
+    truth = write_truth_vcf(os.path.join(tmp, "truth.vcf"), genome, variants)
+    return dict(tmp=tmp, genome=genome, variants=variants, fasta=fasta,
+                bam=bam, truth=truth)
+
+
+def make_config(dataset, **over) -> PipelineConfig:
+    config = PipelineConfig(
+        bam=dataset["bam"], fasta=dataset["fasta"],
+        output_dir=dataset["tmp"] + "/out/",
+        sub_command="call_variant", ont_r9_guppy5_sup=True,
+        threads=1, dry=True, train_mode=True, truth_vcf=dataset["truth"],
+        random_draw_probability=1.0)
+    config = set_parameters(config)
+    for k, v in over.items():
+        setattr(config, k, v)
+    return config
+
+
+@pytest.fixture(scope="module")
+def pipeline_outputs(dataset):
+    config = make_config(dataset)
+    image_dir = dataset["tmp"] + "/images/"
+    pred_dir = dataset["tmp"] + "/preds/"
+    out_dir = dataset["tmp"] + "/out/"
+    config.image_output_directory = image_dir
+    generate_images(config)
+    run_inference(config, image_dir, pred_dir)
+    paths = process_candidates(config, pred_dir, out_dir)
+    return config, paths
+
+
+def test_images_written(pipeline_outputs, dataset):
+    config, _ = pipeline_outputs
+    files = os.listdir(config.image_output_directory)
+    assert any(f.endswith(".hdf5") for f in files)
+
+
+def test_planted_variants_called(pipeline_outputs, dataset):
+    _, paths = pipeline_outputs
+    records = read_vcf(paths["full"])
+    by_pos = {(r.contig, r.pos): r for r in records}
+    missed = []
+    for v in dataset["variants"]:
+        rec = by_pos.get((v.contig, v.pos))
+        if rec is None:
+            missed.append(v)
+            continue
+        # allele must match the planted variant
+        assert v.alt in rec.alts, (v, rec)
+        want_gt = sorted(v.genotype)
+        got_gt = sorted(rec.genotype())
+        alt_index = rec.alts.index(v.alt) + 1
+        want = [0, alt_index] if want_gt == [0, 1] else [alt_index, alt_index]
+        assert got_gt == want, (v, rec)
+    assert not missed, f"planted variants missing from VCF: {missed}"
+
+
+def test_five_vcf_split_files_exist(pipeline_outputs):
+    _, paths = pipeline_outputs
+    for key, path in paths.items():
+        assert os.path.isfile(path), key
+        assert os.path.isfile(path + ".tbi"), key
+    # with oracle confidence=1.0, qual is high: nothing should fail cutoffs
+    pepper_records = read_vcf(paths["pepper"])
+    assert pepper_records, "high-confidence calls should stay in PEPPER set"
+
+
+def test_no_false_positives_with_oracle(pipeline_outputs, dataset):
+    _, paths = pipeline_outputs
+    planted = {(v.contig, v.pos) for v in dataset["variants"]}
+    for rec in read_vcf(paths["full"]):
+        if rec.genotype() != [0, 0]:
+            assert (rec.contig, rec.pos) in planted, rec
+
+
+def test_merge_variants_positional_overlay(pipeline_outputs, dataset):
+    config, paths = pipeline_outputs
+    out = merge_variants(paths["pepper"], paths["full"], None, None,
+                         dataset["tmp"])
+    merged = read_vcf(out)
+    assert merged
+    # every merged record that exists in the DV file carries C=DV
+    for rec in merged:
+        c = rec.samples[0][rec.format.index("C")]
+        assert c == "DV"  # overlaying full onto pepper: all positions match
+
+
+def test_run_inference_empty_dir(dataset, tmp_path):
+    config = make_config(dataset)
+    empty = str(tmp_path / "noimages")
+    os.makedirs(empty)
+    out = run_inference(config, empty, str(tmp_path / "preds"))
+    assert os.path.isfile(out)

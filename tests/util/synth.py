@@ -178,8 +178,8 @@ def write_truth_vcf(path: str, genome: List[Tuple[str, str]],
         for name, seq in genome:
             fh.write(f"##contig=<ID={name},length={len(seq)}>\n")
         fh.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
-        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tFORMAT\tSAMPLE\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE\n")
         for v in variants:
             gt = f"{v.genotype[0]}|{v.genotype[1]}"
-            fh.write(f"{v.contig}\t{v.pos+1}\t.\t{v.ref}\t{v.alt}\t60\tPASS\tGT\t{gt}\n")
+            fh.write(f"{v.contig}\t{v.pos+1}\t.\t{v.ref}\t{v.alt}\t60\tPASS\t.\tGT\t{gt}\n")
     return path
