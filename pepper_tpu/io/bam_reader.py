@@ -14,6 +14,7 @@ reference `pepper_variant/modules/cpp/bam_handler.cpp:115-451`:
   sentinel len(seq)+1 (bam_handler.cpp:307)
 - HP integer aux tag extracted
 """
+import os
 import struct
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
@@ -337,8 +338,23 @@ class BamReader:
 
     def get_reads(self, chromosome: str, start: int, stop: int,
                   include_supplementary: bool = False, min_mapq: int = 0,
-                  min_baseq: int = 0) -> List[TrimmedRead]:
-        """Fetch trimmed reads overlapping [start, stop) — bam_handler.cpp:115-451."""
+                  min_baseq: int = 0, backend: str = "auto") -> List[TrimmedRead]:
+        """Fetch trimmed reads overlapping [start, stop) — bam_handler.cpp:115-451.
+
+        backend: 'auto' uses the native C++ fetcher when it builds
+        (pepper_tpu/native/bamio.py), 'python'/'native' force one path.
+        Set PEPPER_TPU_NO_NATIVE=1 to disable the native path globally."""
+        if backend == "auto":
+            backend = ("python" if os.environ.get("PEPPER_TPU_NO_NATIVE")
+                       else "native")
+        if backend == "native":
+            from pepper_tpu.native import bamio
+            if bamio.available():
+                ref_id = self._ref_ids[chromosome]
+                chunks = self._index.chunks_for(ref_id, start, stop)
+                return bamio.fetch_region_reads(
+                    self.path, chunks, ref_id, start, stop,
+                    include_supplementary, min_mapq, min_baseq)
         reads = []
         for aln in self._iter_region_records(chromosome, start, stop):
             if aln.flag & (FLAG_QCFAIL | FLAG_DUP | FLAG_SECONDARY | FLAG_UNMAPPED):

@@ -1,0 +1,196 @@
+"""Variant-model training — data-parallel over the device mesh.
+
+Parity source: pepper_variant/modules/python/models/train_distributed.py
+(Adam lr=1e-4 + L2 weight decay 1e-6, CrossEntropyLoss(reduction='sum') on
+the 3-class type head, ReduceLROnPlateau('max', patience=2,
+min_lr=0.75*lr), step-based eval + checkpoint cycle, confusion-matrix eval)
+— re-expressed TPU-first: one jitted train step over a sharded batch axis
+(XLA inserts the gradient psum), instead of DataParallel/DDP process
+replicas.
+"""
+import os
+import sys
+import time
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pepper_tpu.models.checkpoint import save_checkpoint
+from pepper_tpu.models.variant_model import init_variant_params, variant_forward
+from pepper_tpu.options import ImageOptions
+from pepper_tpu.parallel.mesh import data_mesh, replicate, shard_batch
+from pepper_tpu.runtime.inference import load_all_summaries
+
+
+def _log(msg: str) -> None:
+    sys.stderr.write("[" + datetime.now().strftime("%m-%d-%Y %H:%M:%S")
+                     + "] INFO: " + msg + "\n")
+    sys.stderr.flush()
+
+
+def cross_entropy_sum(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """CrossEntropyLoss(weight=[1,1,1], reduction='sum') parity."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.sum(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay): L2 added to the gradient BEFORE
+    the Adam moment update — optax.add_decayed_weights first, then adam."""
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(learning_rate),
+        ))(learning_rate=1e-4)
+
+
+def make_train_step(optimizer: optax.GradientTransformation):
+    def loss_fn(params, images, labels, rng):
+        logits = variant_forward(params, images, train_mode=True,
+                                 dropout_rng=rng)
+        return cross_entropy_sum(logits, labels)
+
+    @jax.jit
+    def step(params, opt_state, images, labels, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+@jax.jit
+def _eval_probs(params, images):
+    return variant_forward(params, images, train_mode=False)
+
+
+def confusion_and_accuracy(params, images: np.ndarray, labels: np.ndarray,
+                           batch_size: int = 512) -> Tuple[np.ndarray, float]:
+    """torchnet ConfusionMeter parity (test.py:35-108): 3x3 matrix,
+    accuracy = 100 * trace / sum."""
+    n_cls = ImageOptions.TOTAL_TYPE_LABELS
+    cm = np.zeros((n_cls, n_cls), dtype=np.int64)
+    for lo in range(0, len(images), batch_size):
+        x = images[lo:lo + batch_size].astype(np.float32)
+        pred = np.argmax(np.asarray(_eval_probs(params, jnp.asarray(x))), -1)
+        for t, p in zip(labels[lo:lo + batch_size], pred):
+            cm[t, p] += 1
+    total = cm.sum()
+    accuracy = 100.0 * np.trace(cm) / max(1, total)
+    return cm, float(accuracy)
+
+
+class ReduceLROnPlateau:
+    """torch ReduceLROnPlateau('max', patience=2, factor=0.1, min_lr) parity."""
+
+    def __init__(self, lr: float, patience: int = 2, factor: float = 0.1,
+                 min_lr: float = 0.0):
+        self.lr = lr
+        self.patience = patience
+        self.factor = factor
+        self.min_lr = min_lr
+        self.best = -float("inf")
+        self.bad_steps = 0
+
+    def step(self, metric: float) -> float:
+        if metric > self.best:
+            self.best = metric
+            self.bad_steps = 0
+        else:
+            self.bad_steps += 1
+            if self.bad_steps > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad_steps = 0
+        return self.lr
+
+
+def _batches(rng: np.random.RandomState, n: int, batch_size: int
+             ) -> Iterator[np.ndarray]:
+    order = rng.permutation(n)
+    for lo in range(0, n - batch_size + 1, batch_size):
+        yield order[lo:lo + batch_size]
+
+
+def train(train_image_dir: str, test_image_dir: str, model_dir: str,
+          batch_size: int = 64, epoch_limit: int = 10, step_size: int = 100,
+          lr: float = 1e-4, weight_decay: float = 1e-6,
+          retrain_model_path: Optional[str] = None, seed: int = 0,
+          mesh=None) -> str:
+    """Train loop (train_distributed.py:47-243). Returns best model path."""
+    os.makedirs(model_dir, exist_ok=True)
+    train_data = load_all_summaries(train_image_dir, train_mode=True)
+    test_data = load_all_summaries(test_image_dir, train_mode=True)
+    if train_data is None or "type_label" not in train_data:
+        raise ValueError("training requires labeled images (make_train_images)")
+    images = train_data["images"]
+    labels = train_data["type_label"].astype(np.int32)
+    _log(f"TRAIN EXAMPLES: {len(images)}  TEST: "
+         f"{0 if test_data is None else len(test_data['images'])}")
+
+    mesh = mesh or data_mesh()
+    key = jax.random.PRNGKey(seed)
+    if retrain_model_path:
+        from pepper_tpu.runtime.inference import _load_model_params
+        params = jax.tree_util.tree_map(jnp.asarray,
+                                        _load_model_params(retrain_model_path))
+        _log(f"RETRAIN MODEL LOADED: {retrain_model_path}")
+    else:
+        key, pkey = jax.random.split(key)
+        params = init_variant_params(pkey)
+    params = replicate(mesh, params)
+
+    optimizer = make_optimizer(weight_decay)
+    opt_state = optimizer.init(params)
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+    step_fn = make_train_step(optimizer)
+    scheduler = ReduceLROnPlateau(lr, patience=2, min_lr=0.75 * lr)
+
+    rng = np.random.RandomState(seed)
+    step_no = 0
+    best_accuracy = -1.0
+    best_path = os.path.join(model_dir, "PEPPER_VARIANT_BEST.npz")
+    n_steps_per_epoch = max(1, len(images) // batch_size)
+    total_steps = epoch_limit * min(step_size, n_steps_per_epoch)
+    epoch = 0
+    t0 = time.time()
+    while step_no < total_steps:
+        for idx in _batches(rng, len(images), batch_size):
+            x = shard_batch(mesh, jnp.asarray(
+                images[idx].astype(np.float32)))
+            y = shard_batch(mesh, jnp.asarray(labels[idx]))
+            key, dkey = jax.random.split(key)
+            params, opt_state, loss = step_fn(params, opt_state, x, y, dkey)
+            step_no += 1
+            if step_no % step_size == 0 or step_no >= total_steps:
+                if test_data is not None:
+                    cm, accuracy = confusion_and_accuracy(
+                        params, test_data["images"],
+                        test_data["type_label"].astype(np.int64))
+                    new_lr = scheduler.step(accuracy)
+                    opt_state.hyperparams["learning_rate"] = jnp.asarray(new_lr)
+                    _log(f"STEP {step_no} LOSS {float(loss):.3f} "
+                         f"ACCURACY {accuracy:.3f} LR {new_lr:.2e}")
+                    ckpt_path = os.path.join(
+                        model_dir, f"PEPPER_VARIANT_STEP_{step_no}.npz")
+                    host_params = jax.tree_util.tree_map(np.asarray, params)
+                    save_checkpoint(ckpt_path, host_params,
+                                    {"epochs": epoch, "step": step_no,
+                                     "accuracy": accuracy})
+                    if accuracy > best_accuracy:
+                        best_accuracy = accuracy
+                        save_checkpoint(best_path, host_params,
+                                        {"epochs": epoch, "step": step_no,
+                                         "accuracy": accuracy})
+            if step_no >= total_steps:
+                break
+        epoch += 1
+    _log(f"TRAINING COMPLETE [{time.time() - t0:.1f}s] "
+         f"BEST ACCURACY: {best_accuracy:.3f}")
+    return best_path

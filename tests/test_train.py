@@ -1,0 +1,88 @@
+"""Training-stack tests: loss parity vs torch, train convergence on the
+synthetic dataset, multi-chip dry run on the virtual CPU mesh."""
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from pepper_tpu.train.variant_train import (ReduceLROnPlateau,
+                                            confusion_and_accuracy,
+                                            cross_entropy_sum, train)
+
+
+def test_cross_entropy_sum_matches_torch():
+    logits = np.random.RandomState(0).randn(8, 3).astype(np.float32)
+    labels = np.array([0, 1, 2, 0, 1, 2, 0, 1])
+    want = torch.nn.CrossEntropyLoss(reduction="sum")(
+        torch.tensor(logits), torch.tensor(labels)).item()
+    got = float(cross_entropy_sum(jnp.asarray(logits), jnp.asarray(labels)))
+    assert abs(want - got) < 1e-4
+
+
+def test_reduce_lr_on_plateau():
+    s = ReduceLROnPlateau(lr=1e-4, patience=2, min_lr=0.75e-4)
+    assert s.step(50.0) == 1e-4          # improvement
+    assert s.step(49.0) == 1e-4          # bad 1
+    assert s.step(49.0) == 1e-4          # bad 2
+    lr = s.step(49.0)                    # bad 3 > patience -> reduce, clamped
+    assert lr == pytest.approx(0.75e-4)
+
+
+def test_dryrun_multichip_8_devices():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__
+    assert len(jax.devices()) >= 8
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (64, 3)
+
+
+@pytest.mark.slow
+def test_train_learns_synthetic(tmp_path):
+    """Train on oracle-labeled synthetic images; accuracy should beat chance."""
+    from pepper_tpu.options import PipelineConfig
+    from pepper_tpu.pipelines.make_images import generate_images
+    from pepper_tpu.presets import set_parameters
+    from tests.util.synth import (plant_variants, random_genome,
+                                  simulate_reads, write_dataset,
+                                  write_truth_vcf)
+    tmp = str(tmp_path)
+    genome = random_genome(30000, seed=41)
+    variants = plant_variants(dict(genome), 10, 4, 4, seed=43)
+    records = simulate_reads(genome, variants, coverage=30, seed=47,
+                             error_rate=0.03)
+    fasta, bam = write_dataset(tmp, genome, records)
+    truth = write_truth_vcf(tmp + "/truth.vcf", genome, variants)
+    config = set_parameters(PipelineConfig(
+        bam=bam, fasta=fasta, output_dir=tmp, sub_command="make_train_images",
+        ont_r9_guppy5_sup=True, threads=1, train_mode=True, truth_vcf=truth,
+        random_draw_probability=1.0,
+        image_output_directory=tmp + "/train_images/"))
+    generate_images(config)
+
+    model_path = train(tmp + "/train_images/", tmp + "/train_images/",
+                       tmp + "/models/", batch_size=16, epoch_limit=4,
+                       step_size=20, lr=2e-4)
+    assert os.path.isfile(model_path)
+    from pepper_tpu.models.checkpoint import load_checkpoint
+    from pepper_tpu.runtime.inference import load_all_summaries
+    params, meta = load_checkpoint(model_path)
+    data = load_all_summaries(tmp + "/train_images/", train_mode=True)
+    _, accuracy = confusion_and_accuracy(
+        jax.tree_util.tree_map(jnp.asarray, params), data["images"],
+        data["type_label"].astype(np.int64))
+    # 3-class problem dominated by hom-ref; learned model must beat the
+    # majority-class baseline
+    majority = 100.0 * np.bincount(data["type_label"]).max() / len(data["images"])
+    assert accuracy >= majority, (accuracy, majority)
