@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Benchmark: variant-calling hot path (pileup encode + model inference).
+
+Measures Mbp/s through the pipeline's hot path on synthetic ONT-like data
+(1 Mbp genome, 35x coverage, 10 kb reads, 8% error): native BAM region
+fetch -> region encode (events + count matrix + candidate windows) -> jitted
+model inference on the available accelerator.
+
+Baseline: the reference's runtime model is per-process CPU inference
+(onnxruntime, 1 thread per caller — predict_distributed_cpu.py:45-57) over
+the same host encode. We time the identical windows through an
+architecture-identical torch model on 1 CPU thread and report
+vs_baseline = our_hotpath_mbps / torch_cpu_hotpath_mbps.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Stage timings go to stderr.
+"""
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+GENOME_MBP = 1.0
+COVERAGE = 35
+READ_LEN = 10000
+ERROR = 0.08
+BATCH = 512
+
+
+def log(msg):
+    sys.stderr.write(f"[bench] {msg}\n")
+    sys.stderr.flush()
+
+
+def get_dataset():
+    from tests.util.synth import (plant_variants, random_genome,
+                                  simulate_reads_fast, write_dataset)
+    key = hashlib.md5(
+        f"{GENOME_MBP}-{COVERAGE}-{READ_LEN}-{ERROR}-v1".encode()).hexdigest()[:10]
+    cache = f"/tmp/pepper_bench_{key}"
+    fasta, bam = cache + "/ref.fa", cache + "/reads.bam"
+    if not (os.path.isfile(fasta) and os.path.isfile(bam)):
+        os.makedirs(cache, exist_ok=True)
+        t0 = time.time()
+        genome = random_genome(int(GENOME_MBP * 1e6), seed=1)
+        variants = plant_variants(dict(genome), 800, 100, 100, seed=2)
+        records = simulate_reads_fast(genome, variants, coverage=COVERAGE,
+                                      read_length=READ_LEN, error_rate=ERROR,
+                                      seed=3)
+        write_dataset(cache, genome, records)
+        log(f"dataset built in {time.time() - t0:.1f}s ({len(records)} reads)")
+    return fasta, bam
+
+
+def encode_all(fasta_path, bam_path):
+    """Host stage: the pipeline's own region encode (native fused path when
+    available) over every 100kb region; returns candidate images."""
+    from pepper_tpu.io.bam_reader import BamReader
+    from pepper_tpu.io.fasta import FastaReader
+    from pepper_tpu.options import PipelineConfig
+    from pepper_tpu.pipelines.make_images import create_region_summary
+    from pepper_tpu.presets import set_parameters
+
+    config = set_parameters(PipelineConfig(
+        bam=bam_path, fasta=fasta_path, sub_command="call_variant",
+        ont_r9_guppy5_sup=True))
+    images = []
+    with BamReader(bam_path) as bam, FastaReader(fasta_path) as fa:
+        contig = fa.get_chromosome_names()[0]
+        length = fa.get_chromosome_sequence_length(contig)
+        for start in range(0, length, 100_000):
+            end = min(start + 100_000, length) - 1
+            cands = create_region_summary(config, bam, fa, contig, start, end)
+            if cands:
+                images.extend(c.image for c in cands)
+    return (np.stack(images).astype(np.float32) if images
+            else np.zeros((0, 33, 26), np.float32))
+
+
+def tpu_inference(images):
+    import jax
+    import jax.numpy as jnp
+    from pepper_tpu.models.variant_model import (init_variant_params,
+                                                 variant_forward)
+    params = init_variant_params(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    fwd = jax.jit(variant_forward)
+    pad = (-len(images)) % BATCH
+    x = np.concatenate([images, np.zeros((pad,) + images.shape[1:],
+                                         np.float32)]) if pad else images
+    # warmup/compile
+    jax.block_until_ready(fwd(params, jnp.asarray(x[:BATCH])))
+    t0 = time.time()
+    outs = []
+    for lo in range(0, len(x), BATCH):
+        outs.append(fwd(params, jnp.asarray(x[lo:lo + BATCH])))
+    jax.block_until_ready(outs)
+    return time.time() - t0, jax.devices()[0].platform
+
+
+def torch_cpu_inference(images):
+    """Timed on a subset and scaled (it is >100x slower than the TPU)."""
+    import torch
+    torch.set_num_threads(1)  # per-caller setup of the reference
+    from tests.test_models import TorchVariantModel
+    model = TorchVariantModel().eval()
+    subset = images[:min(4096, len(images))]
+    pad = (-len(subset)) % BATCH
+    x = np.concatenate([subset, np.zeros((pad,) + subset.shape[1:],
+                                         np.float32)]) if pad else subset
+    with torch.no_grad():
+        model(torch.from_numpy(x[:BATCH]))  # warmup
+        t0 = time.time()
+        for lo in range(0, len(x), BATCH):
+            model(torch.from_numpy(x[lo:lo + BATCH]))
+    dt = time.time() - t0
+    return dt * len(images) / max(1, len(x))
+
+
+def main():
+    fasta, bam = get_dataset()
+
+    # warm-up pass: this microVM provisions memory pages lazily and slowly;
+    # production is a long-running process, so measure steady state.
+    encode_all(fasta, bam)
+    t0 = time.time()
+    images = encode_all(fasta, bam)
+    t_host = time.time() - t0
+    log(f"host fetch+encode: {t_host:.2f}s, {len(images)} candidate windows")
+
+    t_dev, platform = tpu_inference(images)
+    log(f"device inference ({platform}): {t_dev:.3f}s "
+        f"({len(images) / max(t_dev, 1e-9):.0f} windows/s)")
+
+    t_torch = torch_cpu_inference(images)
+    log(f"torch-cpu 1-thread inference: {t_torch:.3f}s "
+        f"({len(images) / max(t_torch, 1e-9):.0f} windows/s)")
+
+    ours = GENOME_MBP / (t_host + t_dev)
+    baseline = GENOME_MBP / (t_host + t_torch)
+    log(f"hot path: ours {ours:.3f} Mbp/s vs reference-style {baseline:.3f} Mbp/s")
+    print(json.dumps({
+        "metric": "variant_hotpath_throughput",
+        "value": round(ours, 4),
+        "unit": "Mbp/s",
+        "vs_baseline": round(ours / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

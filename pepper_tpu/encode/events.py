@@ -20,6 +20,7 @@ Semantics are bit-for-bit the reference's, including its quirks:
     regardless of the <=61 candidate-length gate (:497)
 """
 from dataclasses import dataclass, field
+from itertools import repeat as _repeat
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -29,6 +30,7 @@ from pepper_tpu.io.sam import OP_M, OP_EQ, OP_X, OP_I, OP_D, OP_N, OP_S, OP_P
 from pepper_tpu.options import AlleleType
 
 _MATCH_OPS = (OP_M, OP_EQ, OP_X)
+_SNP_CAND = ["1" + chr(b) for b in range(256)]  # "1"+base lookup by byte
 
 # feature-column math (region_summary.cpp:201-230): for a valid ref base,
 # fwd columns start at 7+1, rev at 18+1, order A C G T I D other.
@@ -88,8 +90,11 @@ class _EventBuffer:
 
     def finish(self) -> RegionEvents:
         def cat(parts):
+            # every part is created int32; copy=False makes this a no-op
+            # cast (large-array astype copies are pathologically slow here)
             return (np.concatenate(parts) if parts
-                    else np.zeros(0, dtype=np.int32)).astype(np.int32)
+                    else np.zeros(0, dtype=np.int32)).astype(np.int32,
+                                                             copy=False)
         return RegionEvents(
             matrix_rows=cat(self.matrix_rows), matrix_cols=cat(self.matrix_cols),
             coverage_idx=cat(self.coverage), snp_idx=cat(self.snp),
@@ -175,11 +180,11 @@ def read_events(buf: "_EventBuffer", read: TrimmedRead, ref_codes: np.ndarray,
                 mm = qual_ok & (bases != rbases)
                 buf.snp.append(ridx[mm])
                 if mm.any():
-                    for k in np.flatnonzero(mm):
-                        allele = chr(bases[k])
-                        buf.alleles.append((int(ridx[k]),
-                                            chr(AlleleType.SNP + ord("0")) + allele,
-                                            is_rev))
+                    mi = np.flatnonzero(mm)
+                    buf.alleles.extend(zip(
+                        ridx[mi].tolist(),
+                        (_SNP_CAND[b] for b in bases[mi].tolist()),
+                        _repeat(is_rev)))
             read_index += n
             ref_position += n
         elif op == OP_I:

@@ -12,7 +12,9 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "src", "bamio.cpp")
+_SRCS = [os.path.join(_DIR, "src", "bamio.cpp"),
+         os.path.join(_DIR, "src", "region_encode.cpp")]
+_HDRS = [os.path.join(_DIR, "src", "bam_common.h")]
 _LIB = os.path.join(_DIR, "lib", "libbamio.so")
 
 _lib = None
@@ -50,8 +52,8 @@ class _ReadSet(ctypes.Structure):
 
 def _build() -> Optional[str]:
     os.makedirs(os.path.dirname(_LIB), exist_ok=True)
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-           "-o", _LIB, "-lz"]
+    cmd = (["g++", "-O3", "-std=c++17", "-shared", "-fPIC"] + _SRCS
+           + ["-o", _LIB, "-lz"])
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     except (OSError, subprocess.TimeoutExpired) as exc:
@@ -66,7 +68,8 @@ def _load():
     if _lib is not None or _build_error is not None:
         return
     if (not os.path.isfile(_LIB)
-            or os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+            or any(os.path.getmtime(f) > os.path.getmtime(_LIB)
+                   for f in _SRCS + _HDRS)):
         _build_error = _build()
         if _build_error is not None:
             return

@@ -1,0 +1,312 @@
+// Shared BGZF + BAM record machinery for the native IO/encode paths.
+// From-scratch implementation against the BGZF/BAM specs (zlib only);
+// see bamio.cpp for the ReadSet fetch API and region_encode.cpp for the
+// fused fetch+encode path.
+#pragma once
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <algorithm>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+namespace pep {
+
+constexpr int OP_M = 0, OP_I = 1, OP_D = 2, OP_N = 3, OP_S = 4, OP_H = 5,
+              OP_P = 6, OP_EQ = 7, OP_X = 8;
+constexpr uint16_t FLAG_REVERSE = 16, FLAG_UNMAPPED = 4, FLAG_SECONDARY = 256,
+                   FLAG_QCFAIL = 512, FLAG_DUP = 1024,
+                   FLAG_SUPPLEMENTARY = 2048;
+
+inline const char* SEQ_NT16() { return "=ACMGRSVTWYHKDBN"; }
+
+struct BGZFCursor {
+  FILE* fh = nullptr;
+  std::vector<uint8_t> block;
+  size_t block_off = 0;
+  int64_t coffset = -1;
+  int64_t next_coffset = 0;
+
+  bool load_block(int64_t coff) {
+    if (fseeko(fh, coff, SEEK_SET) != 0) return false;
+    uint8_t hdr[18];
+    if (fread(hdr, 1, 18, fh) != 18) return false;
+    if (hdr[0] != 0x1f || hdr[1] != 0x8b) return false;
+    uint16_t xlen = hdr[10] | (hdr[11] << 8);
+    std::vector<uint8_t> extra(xlen);
+    memcpy(extra.data(), hdr + 12, xlen < 6 ? xlen : 6);
+    if (xlen > 6 && fread(extra.data() + 6, 1, xlen - 6, fh) != xlen - 6)
+      return false;
+    int bsize = -1;
+    for (size_t i = 0; i + 4 <= extra.size();) {
+      uint8_t si1 = extra[i], si2 = extra[i + 1];
+      uint16_t slen = extra[i + 2] | (extra[i + 3] << 8);
+      if (si1 == 66 && si2 == 67 && slen == 2)
+        bsize = (extra[i + 4] | (extra[i + 5] << 8)) + 1;
+      i += 4 + slen;
+    }
+    if (bsize < 0) return false;
+    size_t cdata_len = bsize - 12 - xlen - 8;
+    std::vector<uint8_t> cdata(cdata_len);
+    if (fseeko(fh, coff + 12 + xlen, SEEK_SET) != 0) return false;
+    if (fread(cdata.data(), 1, cdata_len, fh) != cdata_len) return false;
+    uint8_t footer[8];
+    if (fread(footer, 1, 8, fh) != 8) return false;
+    uint32_t isize = footer[4] | (footer[5] << 8) | (footer[6] << 16)
+                     | ((uint32_t)footer[7] << 24);
+    block.resize(isize);
+    if (isize > 0) {
+      z_stream zs{};
+      if (inflateInit2(&zs, -15) != Z_OK) return false;
+      zs.next_in = cdata.data();
+      zs.avail_in = (uInt)cdata_len;
+      zs.next_out = block.data();
+      zs.avail_out = isize;
+      int rc = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (rc != Z_STREAM_END) return false;
+    }
+    coffset = coff;
+    next_coffset = coff + bsize;
+    block_off = 0;
+    return true;
+  }
+
+  bool seek_virtual(uint64_t voff) {
+    int64_t coff = (int64_t)(voff >> 16);
+    uint16_t uoff = (uint16_t)(voff & 0xFFFF);
+    if (coff != coffset && !load_block(coff)) return false;
+    if (uoff > block.size()) return false;
+    block_off = uoff;
+    return true;
+  }
+
+  uint64_t virtual_offset() const {
+    if (block_off >= block.size() && coffset >= 0)
+      return ((uint64_t)next_coffset) << 16;
+    return (((uint64_t)coffset) << 16) | (uint64_t)block_off;
+  }
+
+  bool read(uint8_t* dst, size_t n) {
+    size_t got = 0;
+    while (got < n) {
+      if (block_off >= block.size()) {
+        if (!load_block(next_coffset)) return false;
+        if (block.empty()) {
+          if (block_off >= block.size() && feof(fh)) return false;
+          continue;
+        }
+      }
+      size_t take = std::min(n - got, block.size() - block_off);
+      memcpy(dst + got, block.data() + block_off, take);
+      block_off += take;
+      got += take;
+    }
+    return true;
+  }
+};
+
+// One parsed BAM record (owning buffers reused across records by caller).
+struct BamRecord {
+  int32_t ref_id = 0;
+  int64_t pos = 0;
+  uint8_t mapq = 0;
+  uint16_t flag = 0;
+  std::string name;
+  std::vector<std::pair<int, int>> cigar;  // (op, len)
+  std::vector<char> seq;
+  std::vector<uint8_t> qual;
+  int hp = 0;
+  int64_t ref_span = 0;
+};
+
+inline int parse_hp_tag(const uint8_t* aux, size_t n) {
+  size_t i = 0;
+  while (i + 4 <= n) {
+    const uint8_t* tag = aux + i;
+    uint8_t typ = aux[i + 2];
+    i += 3;
+    long val = 0;
+    switch (typ) {
+      case 'c': val = (int8_t)aux[i]; i += 1; break;
+      case 'C': val = aux[i]; i += 1; break;
+      case 's': { int16_t v; memcpy(&v, aux + i, 2); val = v; i += 2; } break;
+      case 'S': { uint16_t v; memcpy(&v, aux + i, 2); val = v; i += 2; } break;
+      case 'i': { int32_t v; memcpy(&v, aux + i, 4); val = v; i += 4; } break;
+      case 'I': { uint32_t v; memcpy(&v, aux + i, 4); val = v; i += 4; } break;
+      case 'A': i += 1; continue;
+      case 'f': i += 4; continue;
+      case 'Z': case 'H': { while (i < n && aux[i] != 0) i++; i++; continue; }
+      case 'B': {
+        uint8_t sub = aux[i];
+        uint32_t count;
+        memcpy(&count, aux + i + 1, 4);
+        int size = (sub == 'c' || sub == 'C') ? 1
+                   : (sub == 's' || sub == 'S') ? 2 : 4;
+        i += 5 + (size_t)count * size;
+        continue;
+      }
+      default: return 0;
+    }
+    if (tag[0] == 'H' && tag[1] == 'P') return (int)val;
+  }
+  return 0;
+}
+
+// Parse one record body (after the 4-byte block_size) into rec.
+inline void parse_record(const std::vector<uint8_t>& raw, BamRecord& rec) {
+  int32_t l_seq;
+  memcpy(&rec.ref_id, raw.data(), 4);
+  int32_t rpos;
+  memcpy(&rpos, raw.data() + 4, 4);
+  rec.pos = rpos;
+  uint8_t l_read_name = raw[8];
+  rec.mapq = raw[9];
+  uint16_t n_cigar;
+  memcpy(&n_cigar, raw.data() + 12, 2);
+  memcpy(&rec.flag, raw.data() + 14, 2);
+  memcpy(&l_seq, raw.data() + 16, 4);
+  size_t off = 32;
+  rec.name.assign((const char*)raw.data() + off, l_read_name - 1);
+  off += l_read_name;
+  rec.cigar.clear();
+  rec.ref_span = 0;
+  for (int k = 0; k < n_cigar; k++) {
+    uint32_t v;
+    memcpy(&v, raw.data() + off + 4ull * k, 4);
+    int op = v & 0xF, len = v >> 4;
+    rec.cigar.emplace_back(op, len);
+    if (op == OP_M || op == OP_D || op == OP_N || op == OP_EQ || op == OP_X)
+      rec.ref_span += len;
+  }
+  off += 4ull * n_cigar;
+  rec.seq.resize(l_seq);
+  const uint8_t* sb = raw.data() + off;
+  for (int k = 0; k < l_seq; k++) {
+    uint8_t code = (k % 2 == 0) ? (sb[k / 2] >> 4) : (sb[k / 2] & 0xF);
+    rec.seq[k] = SEQ_NT16()[code];
+  }
+  off += (l_seq + 1) / 2;
+  rec.qual.assign(raw.data() + off, raw.data() + off + l_seq);
+  off += l_seq;
+  rec.hp = parse_hp_tag(raw.data() + off, raw.size() - off);
+}
+
+// Iterate records in the chunk list; calls fn(rec) for records on want_ref
+// overlapping [start, stop) that pass flag/mapq filters. Mirrors
+// bam_reader.py _iter_region_records + get_reads filters.
+template <typename Fn>
+void for_each_record(const char* bam_path, const uint64_t* chunks,
+                     int n_chunks, int32_t want_ref, int64_t start,
+                     int64_t stop, bool include_suppl, int min_mapq, Fn fn) {
+  FILE* fh = fopen(bam_path, "rb");
+  if (!fh) return;
+  BGZFCursor cur;
+  cur.fh = fh;
+  std::vector<uint8_t> raw;
+  BamRecord rec;
+  for (int c = 0; c < n_chunks; c++) {
+    uint64_t vbeg = chunks[2 * c], vend = chunks[2 * c + 1];
+    if (!cur.seek_virtual(vbeg)) continue;
+    while (cur.virtual_offset() < vend) {
+      uint8_t szb[4];
+      if (!cur.read(szb, 4)) break;
+      int32_t block_size;
+      memcpy(&block_size, szb, 4);
+      if (block_size <= 0) break;
+      raw.resize(block_size);
+      if (!cur.read(raw.data(), block_size)) break;
+      int32_t ref_id;
+      memcpy(&ref_id, raw.data(), 4);
+      if (ref_id != want_ref) continue;
+      int32_t rpos;
+      memcpy(&rpos, raw.data() + 4, 4);
+      if (rpos >= stop) break;  // next chunk
+      uint16_t flag;
+      memcpy(&flag, raw.data() + 14, 2);
+      if (flag & (FLAG_QCFAIL | FLAG_DUP | FLAG_SECONDARY | FLAG_UNMAPPED))
+        continue;
+      if (!include_suppl && (flag & FLAG_SUPPLEMENTARY)) continue;
+      if (raw[9] < min_mapq) continue;
+      parse_record(raw, rec);
+      if (rec.pos + rec.ref_span <= start) continue;
+      fn(rec);
+    }
+  }
+  fclose(fh);
+}
+
+// Trimmed read view (indices into the record's own buffers after trim).
+struct TrimmedReadN {
+  int64_t pos = -1, pos_end = -1;
+  std::vector<std::pair<int, int>> cigar;
+  std::vector<char> seq;
+  std::vector<uint8_t> qual;
+  uint16_t flag = 0;
+  uint8_t mapq = 0;
+  int hp = 0;
+};
+
+// Mirrors bam_reader.py trim_read (stop INCLUSIVE).
+inline bool trim_record(const BamRecord& rec, int64_t start, int64_t stop,
+                        TrimmedReadN& out) {
+  out.pos = -1;
+  out.pos_end = -1;
+  out.cigar.clear();
+  out.seq.clear();
+  out.qual.clear();
+  int64_t current_pos = rec.pos;
+  int64_t read_index = 0;
+  for (auto [op, length] : rec.cigar) {
+    if (current_pos > stop) break;
+    if (op == OP_M || op == OP_EQ || op == OP_X) {
+      int64_t skip = 0;
+      if (current_pos < start) {
+        skip = std::min<int64_t>(start - current_pos, length);
+        read_index += skip;
+        current_pos += skip;
+      }
+      int64_t n = length - skip;
+      int64_t kept = std::min<int64_t>(n, stop - current_pos + 1);
+      if (kept > 0) {
+        if (out.pos == -1) { out.pos = current_pos; out.pos_end = out.pos; }
+        out.seq.insert(out.seq.end(), rec.seq.begin() + read_index,
+                       rec.seq.begin() + read_index + kept);
+        out.qual.insert(out.qual.end(), rec.qual.begin() + read_index,
+                        rec.qual.begin() + read_index + kept);
+        out.cigar.emplace_back(op, (int)kept);
+        out.pos_end += kept;
+      }
+      read_index += n;
+      current_pos += n;
+    } else if (op == OP_S || op == OP_I) {
+      if (start <= current_pos && current_pos <= stop && out.pos != -1) {
+        out.seq.insert(out.seq.end(), rec.seq.begin() + read_index,
+                       rec.seq.begin() + read_index + length);
+        out.qual.insert(out.qual.end(), rec.qual.begin() + read_index,
+                        rec.qual.begin() + read_index + length);
+        out.cigar.emplace_back(op, length);
+      }
+      read_index += length;
+    } else if (op == OP_N || op == OP_D) {
+      if (start <= current_pos && current_pos <= stop && out.pos != -1) {
+        int64_t kept = std::min<int64_t>(length, stop - current_pos + 1);
+        if (kept > 0) {
+          out.cigar.emplace_back(op, (int)kept);
+          out.pos_end += kept;
+        }
+      }
+      current_pos += length;
+    } else if (op == OP_P) {
+      current_pos += length;
+    }
+  }
+  if (out.seq.empty()) return false;
+  out.flag = rec.flag;
+  out.mapq = rec.mapq;
+  out.hp = rec.hp;
+  return true;
+}
+
+}  // namespace pep

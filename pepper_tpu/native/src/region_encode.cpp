@@ -1,0 +1,583 @@
+// Fused native region encoder: BAM fetch -> trim -> event walk -> count
+// matrix -> site thresholds -> candidate windows (+ train labels).
+//
+// This is the pipeline's hot path (SURVEY.md §3.5). Semantics are a direct
+// port of the Python implementation (pepper_tpu/encode/events.py +
+// region_encoder.py), which is the tested oracle; tests/test_native_encode.py
+// asserts bit-equality between the two on randomized data. The Python layer
+// stays authoritative for semantics; this file exists for speed (it also
+// avoids materializing per-read Python objects entirely).
+//
+// Downsampling reproduces numpy RandomState(seed).randint(0, i+1) exactly:
+// MT19937 seeded with init_by_array([seed]) + masked-rejection bounded
+// draws (the legacy numpy algorithm), so native and Python paths pick the
+// same reads.
+#include "bam_common.h"
+
+#include <array>
+#include <cmath>
+#include <map>
+#include <memory>
+
+namespace {
+
+using pep::TrimmedReadN;
+
+// ------------------------------------------------------------- numpy MT19937
+struct NumpyMT {
+  uint32_t mt[624];
+  int mti = 625;
+
+  void init_genrand(uint32_t s) {
+    mt[0] = s;
+    for (mti = 1; mti < 624; mti++)
+      mt[mti] = 1812433253u * (mt[mti - 1] ^ (mt[mti - 1] >> 30)) + mti;
+  }
+
+  void init_by_array(const uint32_t* key, int key_length) {
+    init_genrand(19650218u);
+    int i = 1, j = 0;
+    int k = 624 > key_length ? 624 : key_length;
+    for (; k; k--) {
+      mt[i] = (mt[i] ^ ((mt[i - 1] ^ (mt[i - 1] >> 30)) * 1664525u))
+              + key[j] + j;
+      i++; j++;
+      if (i >= 624) { mt[0] = mt[623]; i = 1; }
+      if (j >= key_length) j = 0;
+    }
+    for (k = 623; k; k--) {
+      mt[i] = (mt[i] ^ ((mt[i - 1] ^ (mt[i - 1] >> 30)) * 1566083941u)) - i;
+      i++;
+      if (i >= 624) { mt[0] = mt[623]; i = 1; }
+    }
+    mt[0] = 0x80000000u;
+    mti = 624;
+  }
+
+  uint32_t next32() {
+    uint32_t y;
+    if (mti >= 624) {
+      for (int kk = 0; kk < 624 - 397; kk++) {
+        y = (mt[kk] & 0x80000000u) | (mt[kk + 1] & 0x7fffffffu);
+        mt[kk] = mt[kk + 397] ^ (y >> 1) ^ ((y & 1) ? 0x9908b0dfu : 0);
+      }
+      for (int kk = 624 - 397; kk < 623; kk++) {
+        y = (mt[kk] & 0x80000000u) | (mt[kk + 1] & 0x7fffffffu);
+        mt[kk] = mt[kk + (397 - 624)] ^ (y >> 1) ^ ((y & 1) ? 0x9908b0dfu : 0);
+      }
+      y = (mt[623] & 0x80000000u) | (mt[0] & 0x7fffffffu);
+      mt[623] = mt[396] ^ (y >> 1) ^ ((y & 1) ? 0x9908b0dfu : 0);
+      mti = 0;
+    }
+    y = mt[mti++];
+    y ^= (y >> 11);
+    y ^= (y << 7) & 0x9d2c5680u;
+    y ^= (y << 15) & 0xefc60000u;
+    y ^= (y >> 18);
+    return y;
+  }
+
+  // numpy random_bounded_uint64 (distributions.c): masked rejection; 32-bit
+  // draws when the range fits, 64-bit (hi-word-first) otherwise.
+  uint64_t bounded(uint64_t rng) {  // inclusive upper bound
+    if (rng == 0) return 0;
+    uint64_t mask = rng;
+    mask |= mask >> 1;  mask |= mask >> 2;  mask |= mask >> 4;
+    mask |= mask >> 8;  mask |= mask >> 16; mask |= mask >> 32;
+    if (rng <= 0xffffffffULL) {
+      while (true) {
+        uint64_t v = next32() & mask;
+        if (v <= rng) return v;
+      }
+    }
+    while (true) {
+      uint64_t hi = next32(), lo = next32();
+      uint64_t v = ((hi << 32) | lo) & mask;
+      if (v <= rng) return v;
+    }
+  }
+};
+
+// ---------------------------------------------------------------- constants
+constexpr int MAXV = 125, MINV = -125;
+constexpr int BASE_INDEX_START = 11, BASE_INDEX_SIZE = 14;
+constexpr int FWD_START = 7, REV_START = 18;
+
+inline bool ref_ok(char b) {
+  return b == 'A' || b == 'C' || b == 'G' || b == 'T';
+}
+
+inline int ref_value(char b) {
+  switch (b) {
+    case 'A': return 1;
+    case 'C': return 2;
+    case 'G': return 3;
+    case 'T': return 4;
+    default: return 5;
+  }
+}
+
+// region_summary.cpp:201-230 / events.py feature_index
+inline int feature_index(char ref_base, char base, bool rev) {
+  if (!ref_ok(ref_base)) return -1;
+  int start = rev ? REV_START : FWD_START;
+  switch (base) {
+    case 'A': return start + 1;
+    case 'C': return start + 2;
+    case 'G': return start + 3;
+    case 'T': return start + 4;
+    case 'I': return start + 5;
+    case 'D': return start + 6;
+    default: return start + 7;
+  }
+}
+
+struct AlleleCount { int total = 0, fwd = 0, rev = 0; };
+
+struct TruthRec {
+  int64_t pos_start, pos_end;
+  std::string ref, alt;
+};
+
+// region_encoder.py _truth_candidate_string
+static std::string truth_candidate_string(const TruthRec& r) {
+  std::string allele, other;
+  char atype;
+  if (r.ref.size() > r.alt.size()) { allele = r.ref; other = r.alt; atype = '3'; }
+  else if (r.ref.size() < r.alt.size()) { allele = r.alt; other = r.ref; atype = '2'; }
+  else { allele = r.alt; other = r.ref; atype = '1'; }
+  if (allele.size() > 1 && other.size() > 1) {
+    size_t min_len = std::min(allele.size(), other.size());
+    allele = allele.substr(0, allele.size() - min_len + 1);
+  }
+  return std::string(1, atype) + allele;
+}
+
+const char* BASE_LABELS[28] = {
+    "RR", "RA", "RC", "RT", "RG", "R*", "R#", "AA", "AC", "AT", "AG", "A*",
+    "A#", "CC", "CT", "CG", "C*", "C#", "TT", "TG", "T*", "T#", "GG", "G*",
+    "G#", "**", "*#", "##"};
+
+static int get_label_index(char h1, char h2) {
+  h1 = toupper(h1); h2 = toupper(h2);
+  for (int i = 0; i < 28; i++) {
+    char a = BASE_LABELS[i][0], b = BASE_LABELS[i][1];
+    if ((h1 == a && h2 == b) || (h2 == a && h1 == b)) return i;
+  }
+  return 0;
+}
+
+static int type_label_index(int t1, int t2) {
+  static const int table[4][4] = {
+      {0, 1, 2, 3}, {1, 4, 5, 6}, {2, 5, 7, 8}, {3, 6, 8, 9}};
+  return table[t1][t2];
+}
+
+struct Out {
+  std::vector<int64_t> positions;
+  std::vector<int32_t> depths, type_labels, base_labels, cand_freqs,
+      cand_offsets;
+  std::vector<char> cand_buf;
+  std::vector<int32_t> images;
+};
+
+}  // namespace
+
+extern "C" {
+
+typedef struct {
+  int32_t n;
+  int64_t* positions;
+  int32_t* depths;
+  int32_t* type_labels;
+  int32_t* base_labels;
+  int32_t* cand_freqs;
+  int32_t* cand_offsets;  // n+1
+  char* cand_buf;
+  int32_t* images;  // n * (window+1) * features
+  int64_t cand_buf_len;
+  int32_t window1, features;
+} EncodeResult;
+
+void encode_result_free(EncodeResult* r) {
+  if (!r) return;
+  free(r->positions); free(r->depths); free(r->type_labels);
+  free(r->base_labels); free(r->cand_freqs); free(r->cand_offsets);
+  free(r->cand_buf); free(r->images);
+  free(r);
+}
+
+EncodeResult* encode_region(
+    const char* bam_path, const uint64_t* chunks, int n_chunks,
+    int32_t ref_id, int64_t fetch_start, int64_t fetch_stop,
+    int64_t region_start, int64_t region_end, const char* ref_seq_c,
+    int include_suppl, int min_mapq,
+    double min_snp_baseq, double min_indel_baseq, double snp_freq,
+    double ins_freq, double del_freq, double min_cov, double snp_cand_freq,
+    double indel_cand_freq, double cand_support, int skip_indels,
+    int64_t cand_region_start, int64_t cand_region_end, int window_size,
+    int feature_size, int train_mode,
+    // downsampling (reservoir, numpy RandomState parity)
+    int64_t max_reads, double downsample_rate, uint32_t random_seed,
+    // truth records per haplotype (flattened strings)
+    int n_t1, const int64_t* t1_pos, const int64_t* t1_end,
+    const int32_t* t1_ref_off, const char* t1_ref_buf,
+    const int32_t* t1_alt_off, const char* t1_alt_buf,
+    int n_t2, const int64_t* t2_pos, const int64_t* t2_end,
+    const int32_t* t2_ref_off, const char* t2_ref_buf,
+    const int32_t* t2_alt_off, const char* t2_alt_buf) {
+  const int64_t L = region_end - region_start + 1;
+  const std::string ref_seq(ref_seq_c);
+  const int win1 = window_size + 1;
+  const int half = window_size / 2;
+
+  // ---- fetch + trim (+ reservoir downsample on the raw fetched reads) ----
+  std::vector<TrimmedReadN> reads;
+  {
+    std::vector<TrimmedReadN> all;
+    TrimmedReadN tr;
+    pep::for_each_record(
+        bam_path, chunks, n_chunks, ref_id, fetch_start, fetch_stop,
+        include_suppl != 0, min_mapq, [&](const pep::BamRecord& rec) {
+          if (pep::trim_record(rec, fetch_start, fetch_stop, tr))
+            all.push_back(tr);
+        });
+    int64_t total = (int64_t)all.size();
+    int64_t allowed = (int64_t)std::min<double>(
+        (double)max_reads, downsample_rate * (double)total);
+    if (total > allowed) {
+      NumpyMT mt;
+      // RandomState(int_seed) seeds with plain init_genrand, NOT
+      // init_by_array (verified against numpy's raw output stream)
+      mt.init_genrand(random_seed);
+      mt.mti = 624;
+      std::vector<int64_t> sample_idx;
+      for (int64_t i = 0; i < total; i++) {
+        if ((int64_t)sample_idx.size() < allowed) {
+          sample_idx.push_back(i);
+        } else {
+          int64_t j = (int64_t)mt.bounded((uint64_t)i);  // randint(0, i+1)
+          if (j < allowed) sample_idx[j] = i;
+        }
+      }
+      reads.reserve(sample_idx.size());
+      for (int64_t i : sample_idx) reads.push_back(std::move(all[i]));
+    } else {
+      reads = std::move(all);
+    }
+  }
+
+  // ---- event accumulation (port of events.py read_events) ----
+  std::vector<int32_t> matrix((size_t)(L + 1) * feature_size, 0);
+  for (int64_t i = 0; i < L; i++)
+    matrix[(size_t)i * feature_size] = ref_value(ref_seq[i]);
+  std::vector<int32_t> coverage(L, 0), snp_count(L, 0), insert_count(L, 0),
+      delete_count(L, 0);
+  std::vector<std::map<std::string, AlleleCount>> alleles(L);
+
+  auto add_allele = [&](int64_t idx, const std::string& cand, bool rev) {
+    auto& e = alleles[idx][cand];
+    e.total += 1;
+    if (rev) e.rev += 1; else e.fwd += 1;
+  };
+
+  for (const auto& read : reads) {
+    if (read.mapq <= 0) continue;
+    const bool rev = (read.flag & pep::FLAG_REVERSE) != 0;
+    const int start_col = rev ? REV_START : FWD_START;
+    const int ref_col = rev ? 15 : 4;
+    int64_t read_index = 0;
+    int64_t ref_position = read.pos;
+    const auto& cig = read.cigar;
+    for (size_t ci = 0; ci < cig.size(); ci++) {
+      auto [op, length] = cig[ci];
+      if (ref_position > region_end) break;
+      if (op == pep::OP_M || op == pep::OP_EQ || op == pep::OP_X) {
+        int64_t skip = 0;
+        if (ref_position < region_start) {
+          skip = std::min<int64_t>(region_start - ref_position, length);
+          read_index += skip;
+          ref_position += skip;
+        }
+        int64_t n = length - skip;
+        if (n <= 0) continue;
+        int64_t n_in = std::min<int64_t>(n, region_end - ref_position + 1);
+        for (int64_t k = 0; k < n_in; k++) {
+          int64_t idx = ref_position + k - region_start;
+          char base = read.seq[read_index + k];
+          char rbase = ref_seq[idx];
+          double bq = read.qual[read_index + k];
+          if (bq < min_snp_baseq) continue;
+          coverage[idx] += 1;
+          bool anchors_indel =
+              (k == n_in - 1 && n_in == n && ci != cig.size() - 1 &&
+               (cig[ci + 1].first == pep::OP_I ||
+                cig[ci + 1].first == pep::OP_D));
+          if (!anchors_indel)
+            matrix[(size_t)idx * feature_size + ref_col] -= 1;
+          int fi = feature_index(rbase, base, rev);
+          if (fi >= 0) matrix[(size_t)idx * feature_size + fi] -= 1;
+          if (base != rbase) {
+            snp_count[idx] += 1;
+            add_allele(idx, std::string("1") + base, rev);
+          }
+        }
+        read_index += n;
+        ref_position += n;
+      } else if (op == pep::OP_I) {
+        int64_t anchor = ref_position - 1;
+        if (anchor >= region_start && anchor <= region_end &&
+            read_index - 1 >= 0) {
+          int64_t aidx = anchor - region_start;
+          int64_t alen = length + 1;
+          int64_t s0 = read_index - 1;
+          double qsum = 0;
+          for (int64_t k = 0; k < alen; k++) qsum += read.qual[s0 + k];
+          if (qsum >= min_indel_baseq * alen &&
+              read.qual[s0] < min_snp_baseq)
+            coverage[aidx] += 1;
+          std::string cand = "2" + std::string(read.seq.data() + s0, alen);
+          if ((int64_t)cand.size() <= 61 && qsum >= min_indel_baseq * alen) {
+            if (ref_ok(ref_seq[aidx]))
+              matrix[(size_t)aidx * feature_size +
+                     feature_index(ref_seq[aidx], 'I', rev)] -= 1;
+            insert_count[aidx] += 1;
+            add_allele(aidx, cand, rev);
+          }
+        }
+        read_index += length;
+      } else if (op == pep::OP_D) {
+        int64_t anchor = ref_position - 1;
+        if (anchor >= region_start && anchor <= region_end) {
+          int64_t aidx = anchor - region_start;
+          if (ref_ok(ref_seq[aidx]))
+            matrix[(size_t)aidx * feature_size +
+                   feature_index(ref_seq[aidx], 'D', rev)] -= 1;
+          int64_t take = std::min<int64_t>(length + 1, L - aidx);
+          std::string cand = "3" + ref_seq.substr(aidx, take);
+          if ((int64_t)cand.size() <= 61) {
+            delete_count[aidx] += 1;
+            add_allele(aidx, cand, rev);
+          }
+        }
+        int64_t lo = std::max(ref_position, region_start);
+        int64_t hi = std::min(ref_position + length - 1, region_end);
+        for (int64_t p = lo; p <= hi; p++) {
+          int64_t idx = p - region_start;
+          if (ref_ok(ref_seq[idx]))
+            matrix[(size_t)idx * feature_size +
+                   feature_index(ref_seq[idx], '*', rev)] -= 1;
+        }
+        ref_position += length;
+      } else if (op == pep::OP_N || op == pep::OP_P) {
+        // REF_SKIP/PAD fall through to SOFT_CLIP (reference switch quirk)
+        ref_position += length;
+        read_index += length;
+      } else if (op == pep::OP_S) {
+        read_index += length;
+      }
+    }
+  }
+
+  // ---- site thresholds + clamp (region_encoder.py generate_summary) ----
+  std::vector<int64_t> filtered;
+  std::vector<uint8_t> snp_pass(L, 0), ins_pass(L, 0), del_pass(L, 0);
+  for (int64_t i = 0; i < L; i++) {
+    double cov = std::max(1.0, (double)coverage[i]);
+    bool sp = snp_count[i] / cov >= snp_freq;
+    bool ip = insert_count[i] / cov >= ins_freq;
+    bool dp = delete_count[i] / cov >= del_freq;
+    if (sp || ip || dp) {
+      int64_t pos = region_start + i;
+      if (pos >= cand_region_start && pos <= cand_region_end &&
+          coverage[i] >= min_cov) {
+        filtered.push_back(i);
+        if (sp) snp_pass[i] = 1;
+        if (ip) ins_pass[i] = 1;
+        if (dp) del_pass[i] = 1;
+      }
+    }
+    for (int j = BASE_INDEX_START; j < BASE_INDEX_START + BASE_INDEX_SIZE; j++) {
+      int32_t& v = matrix[(size_t)i * feature_size + j];
+      v = std::min(std::max(v, (int32_t)MINV), (int32_t)MAXV);
+    }
+  }
+
+  // ---- train labels (region_encoder.py generate_labels) ----
+  std::vector<TruthRec> truth[2];
+  std::vector<uint8_t> labels_hp[2];
+  std::vector<int32_t> types_hp[2];
+  std::vector<std::vector<int32_t>> truth_at[2];
+  std::vector<int32_t> labels, labels_type;
+  if (train_mode) {
+    auto load = [&](int n, const int64_t* tp, const int64_t* te,
+                    const int32_t* ro, const char* rb, const int32_t* ao,
+                    const char* ab, int h) {
+      for (int i = 0; i < n; i++)
+        truth[h].push_back(TruthRec{
+            tp[i], te[i],
+            std::string(rb + ro[i], ro[i + 1] - ro[i]),
+            std::string(ab + ao[i], ao[i + 1] - ao[i])});
+    };
+    load(n_t1, t1_pos, t1_end, t1_ref_off, t1_ref_buf, t1_alt_off, t1_alt_buf, 0);
+    load(n_t2, t2_pos, t2_end, t2_ref_off, t2_ref_buf, t2_alt_off, t2_alt_buf, 1);
+    for (int h = 0; h < 2; h++) {
+      labels_hp[h].assign(L + 1, '*');
+      types_hp[h].assign(L + 1, 0);
+      truth_at[h].assign(L + 1, {});
+      for (int64_t i = 0; i < L; i++) labels_hp[h][i] = 'R';
+      for (size_t r = 0; r < truth[h].size(); r++) {
+        const TruthRec& rec = truth[h][r];
+        int64_t idx = rec.pos_start - region_start;
+        if (rec.ref.size() > rec.alt.size()) {
+          if (idx >= 0 && idx < L) {
+            types_hp[h][idx] = 3;
+            labels_hp[h][idx] = '#';
+            truth_at[h][idx].push_back((int32_t)r);
+          }
+        } else if (rec.ref.size() < rec.alt.size()) {
+          if (idx >= 0 && idx < L) {
+            types_hp[h][idx] = 2;
+            labels_hp[h][idx] = '*';
+            truth_at[h][idx].push_back((int32_t)r);
+          }
+        } else {
+          if (idx >= 0 && idx < L) {
+            types_hp[h][idx] = 1;
+            truth_at[h][idx].push_back((int32_t)r);
+          }
+          for (int64_t pos = rec.pos_start; pos < rec.pos_end; pos++) {
+            if (pos >= region_start && pos <= region_end) {
+              int64_t i = pos - region_start;
+              char alt_base = rec.alt[pos - rec.pos_start];
+              labels_hp[h][i] = (ref_seq[i] == alt_base) ? 'R' : alt_base;
+            }
+          }
+        }
+      }
+    }
+    labels.assign(L + 1, 0);
+    labels_type.assign(L + 1, 0);
+    for (int64_t i = 0; i <= L; i++) {
+      labels[i] = get_label_index((char)labels_hp[0][i], (char)labels_hp[1][i]);
+      labels_type[i] = type_label_index(types_hp[0][i], types_hp[1][i]);
+    }
+  }
+
+  // ---- candidate windows ----
+  Out out;
+  out.cand_offsets.push_back(0);
+  std::vector<int32_t> image((size_t)win1 * feature_size);
+  for (int64_t idx : filtered) {
+    int64_t pos = region_start + idx;
+    int depth = std::min(coverage[idx], (int32_t)MAXV);
+    for (const auto& [cand, ac] : alleles[idx]) {  // std::map: lexicographic
+      char ctype = cand[0];
+      double freq = ac.total / std::max(1.0, (double)depth);
+      if (ac.total < cand_support) continue;
+      if (ctype != '1' && freq < indel_cand_freq) continue;
+      if (ctype == '1' && freq < snp_cand_freq) continue;
+      if (ctype != '1' && skip_indels) continue;
+      if ((ctype == '1' && !snp_pass[idx]) ||
+          (ctype == '2' && !ins_pass[idx]) ||
+          (ctype == '3' && !del_pass[idx]))
+        continue;
+
+      int base_label = 0, type_label = 0;
+      if (train_mode) {
+        bool found[2] = {false, false};
+        for (int h = 0; h < 2; h++)
+          for (int32_t r : truth_at[h][idx])
+            if (truth_candidate_string(truth[h][r]) == cand) found[h] = true;
+        int gt = (found[0] && found[1]) ? 2 : ((found[0] || found[1]) ? 1 : 0);
+        base_label = labels[idx];
+        type_label = gt;
+      }
+
+      std::fill(image.begin(), image.end(), 0);
+      int64_t lo = idx - half;
+      int64_t src_lo = std::max<int64_t>(lo, 0);
+      int64_t src_hi = std::min<int64_t>(idx + half, L) + 1;
+      if (src_hi > src_lo)
+        memcpy(image.data() + (src_lo - lo) * feature_size,
+               matrix.data() + (size_t)src_lo * feature_size,
+               (size_t)(src_hi - src_lo) * feature_size * 4);
+
+      char ref_base = ref_seq[idx];
+      int mid = half;
+      int fwd_c = std::min(ac.fwd, MAXV), rev_c = std::min(ac.rev, MAXV);
+      auto M = [&](int r, int c) -> int32_t& {
+        return image[(size_t)r * feature_size + c];
+      };
+      if (ctype == '1') {
+        int ffi = feature_index(ref_base, cand[1], false);
+        int rfi = feature_index(ref_base, cand[1], true);
+        M(mid, 1) = ref_value(cand[1]);
+        M(mid, 5) = fwd_c;
+        M(mid, 16) = rev_c;
+        if (ffi >= 0) { M(mid, ffi) = -M(mid, ffi); M(mid, rfi) = -M(mid, rfi); }
+      } else if (ctype == '2') {
+        int ffi = feature_index(ref_base, 'I', false);
+        int rfi = feature_index(ref_base, 'I', true);
+        M(mid, 2) = std::min((int)cand.size() - 1, MAXV);
+        M(mid, 6) = fwd_c;
+        M(mid, 17) = rev_c;
+        if (ffi >= 0) { M(mid, ffi) = -M(mid, ffi); M(mid, rfi) = -M(mid, rfi); }
+      } else {
+        int del_len = (int)cand.size() - 1;
+        int end_index = std::min(mid + del_len - 1, window_size - 1);
+        int ffi = feature_index(ref_base, 'D', false);
+        int rfi = feature_index(ref_base, 'D', true);
+        M(mid, 3) = std::min(del_len, MAXV);
+        M(mid, 7) = fwd_c;
+        M(mid, 18) = rev_c;
+        if (ffi >= 0) { M(mid, ffi) = -M(mid, ffi); M(mid, rfi) = -M(mid, rfi); }
+        int sfi = feature_index(ref_base, '*', false);
+        int sri = feature_index(ref_base, '*', true);
+        for (int w = mid + 1; w <= end_index; w++) {
+          M(w, 3) = std::min(del_len, MAXV);
+          M(w, 7) = fwd_c;
+          M(w, 18) = rev_c;
+          if (sfi >= 0) { M(w, sfi) = -M(w, sfi); M(w, sri) = -M(w, sri); }
+        }
+      }
+
+      out.positions.push_back(pos);
+      out.depths.push_back(depth);
+      out.type_labels.push_back(type_label);
+      out.base_labels.push_back(base_label);
+      out.cand_freqs.push_back(std::min(ac.total, MAXV));
+      out.cand_buf.insert(out.cand_buf.end(), cand.begin(), cand.end());
+      out.cand_offsets.push_back((int32_t)out.cand_buf.size());
+      out.images.insert(out.images.end(), image.begin(), image.end());
+    }
+  }
+
+  auto* r = (EncodeResult*)calloc(1, sizeof(EncodeResult));
+  r->n = (int32_t)out.positions.size();
+  r->window1 = win1;
+  r->features = feature_size;
+  auto cp64 = [](const std::vector<int64_t>& v) {
+    auto* p = (int64_t*)malloc(v.size() * 8 + 1);
+    memcpy(p, v.data(), v.size() * 8);
+    return p;
+  };
+  auto cp32 = [](const std::vector<int32_t>& v) {
+    auto* p = (int32_t*)malloc(v.size() * 4 + 1);
+    memcpy(p, v.data(), v.size() * 4);
+    return p;
+  };
+  r->positions = cp64(out.positions);
+  r->depths = cp32(out.depths);
+  r->type_labels = cp32(out.type_labels);
+  r->base_labels = cp32(out.base_labels);
+  r->cand_freqs = cp32(out.cand_freqs);
+  r->cand_offsets = cp32(out.cand_offsets);
+  r->images = cp32(out.images);
+  r->cand_buf = (char*)malloc(out.cand_buf.size() + 1);
+  memcpy(r->cand_buf, out.cand_buf.data(), out.cand_buf.size());
+  r->cand_buf_len = (int64_t)out.cand_buf.size();
+  return r;
+}
+
+}  // extern "C"

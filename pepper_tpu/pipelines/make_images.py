@@ -139,28 +139,26 @@ def create_region_summary(config: PipelineConfig, bam: BamReader,
     """One region's candidate images (AlignmentSummarizer.create_summary)."""
     safe = ConsensCandidateFinder.REGION_SAFE_BASES
 
+    use_native = not os.environ.get("PEPPER_TPU_NO_NATIVE")
+    if use_native:
+        from pepper_tpu.native import encoder as native_encoder
+        use_native = native_encoder.available()
+
     def encode(sub_start: int, sub_end: int, train: bool) -> List[CandidateImage]:
         region_start = max(0, sub_start - safe)
         region_end = sub_end + safe
         contig_len = fasta.get_chromosome_sequence_length(chromosome)
         region_end = min(region_end, contig_len - 1)
-        reads = bam.get_reads(chromosome, region_start,
-                              region_end + 1 if train else region_end,
-                              config.include_supplementary,
-                              config.min_mapq, config.min_snp_baseq)
-        reads = reservoir_downsample(reads, config.downsample_rate)
-        if not reads:
-            return []
+        fetch_stop = region_end + 1 if train else region_end
         ref_seq = fasta.get_reference_sequence(chromosome, region_start,
                                                region_end + 1)
-        summary = RegionalSummary(chromosome, region_start, region_end, ref_seq)
+        hap1, hap2 = [], []
         if train:
-            hap1, hap2 = get_truth_records(config.truth_vcf, chromosome,
-                                           region_start, region_end)
-            summary.generate_labels(
-                [TruthRecord(*t) for t in hap1], [TruthRecord(*t) for t in hap2])
-        return summary.generate_summary(
-            reads,
+            h1, h2 = get_truth_records(config.truth_vcf, chromosome,
+                                       region_start, region_end)
+            hap1 = [TruthRecord(*t) for t in h1]
+            hap2 = [TruthRecord(*t) for t in h2]
+        thresholds = dict(
             min_snp_baseq=config.min_snp_baseq,
             min_indel_baseq=config.min_indel_baseq,
             snp_freq_threshold=config.snp_frequency,
@@ -170,10 +168,35 @@ def create_region_summary(config: PipelineConfig, bam: BamReader,
             snp_candidate_freq_threshold=config.snp_candidate_frequency_threshold,
             indel_candidate_freq_threshold=config.indel_candidate_frequency_threshold,
             candidate_support_threshold=config.candidate_support_threshold,
-            skip_indels=config.skip_indels,
+            skip_indels=config.skip_indels)
+
+        if use_native:
+            ref_id = bam._ref_ids[chromosome]
+            chunks = bam._index.chunks_for(ref_id, region_start, fetch_stop)
+            return native_encoder.encode_region_native(
+                bam.path, chunks, ref_id, chromosome, region_start,
+                fetch_stop, region_start, region_end, ref_seq,
+                include_supplementary=config.include_supplementary,
+                min_mapq=config.min_mapq,
+                candidate_region_start=region_start_position,
+                candidate_region_end=region_end_position,
+                train_mode=train, hap1=hap1, hap2=hap2,
+                downsample_rate=config.downsample_rate, **thresholds)
+
+        reads = bam.get_reads(chromosome, region_start, fetch_stop,
+                              config.include_supplementary,
+                              config.min_mapq, config.min_snp_baseq)
+        reads = reservoir_downsample(reads, config.downsample_rate)
+        if not reads:
+            return []
+        summary = RegionalSummary(chromosome, region_start, region_end, ref_seq)
+        if train:
+            summary.generate_labels(hap1, hap2)
+        return summary.generate_summary(
+            reads,
             candidate_region_start=region_start_position,
             candidate_region_end=region_end_position,
-            train_mode=train)
+            train_mode=train, **thresholds)
 
     if not config.train_mode:
         return encode(region_start_position, region_end_position, False)

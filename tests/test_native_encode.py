@@ -1,0 +1,118 @@
+"""Fused native encoder vs Python RegionalSummary: bit-exact parity."""
+import numpy as np
+import pytest
+
+from pepper_tpu.encode.region_encoder import RegionalSummary, TruthRecord
+from pepper_tpu.io.bam_reader import BamReader
+from pepper_tpu.io.fasta import FastaReader
+from pepper_tpu.io.vcf import get_truth_records
+from pepper_tpu.native import encoder
+from tests.util.synth import (plant_variants, random_genome, simulate_reads,
+                              write_dataset, write_truth_vcf)
+
+pytestmark = pytest.mark.skipif(not encoder.available(),
+                                reason="native build failed")
+
+KW = dict(min_snp_baseq=1, min_indel_baseq=1, snp_freq_threshold=0.10,
+          insert_freq_threshold=0.15, delete_freq_threshold=0.15,
+          min_coverage_threshold=2, snp_candidate_freq_threshold=0.10,
+          indel_candidate_freq_threshold=0.10,
+          candidate_support_threshold=2, skip_indels=False)
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("nenc"))
+    genome = random_genome(30000, seed=51)
+    variants = plant_variants(dict(genome), 10, 5, 5, seed=52)
+    records = simulate_reads(genome, variants, coverage=30, seed=53,
+                             error_rate=0.06)
+    fasta, bam = write_dataset(tmp, genome, records)
+    truth = write_truth_vcf(tmp + "/truth.vcf", genome, variants)
+    return dict(fasta=fasta, bam=bam, truth=truth, variants=variants)
+
+
+def run_both(data, region_start, region_end, train=False, max_reads=5000,
+             skip_indels=False):
+    kw = dict(KW)
+    kw["skip_indels"] = skip_indels
+    fetch_stop = region_end + 1 if train else region_end
+    with BamReader(data["bam"]) as bam, FastaReader(data["fasta"]) as fa:
+        ref_seq = fa.get_reference_sequence("contig1", region_start,
+                                            region_end + 1)
+        reads = bam.get_reads("contig1", region_start, fetch_stop,
+                              False, 5, 1, backend="python")
+        from pepper_tpu.pipelines.make_images import reservoir_downsample
+        from pepper_tpu.options import AlignerOptions
+        allowed = int(min(max_reads, 1.0 * len(reads)))
+        if len(reads) > allowed:
+            rng = np.random.RandomState(AlignerOptions.RANDOM_SEED)
+            sample = []
+            for i, read in enumerate(reads):
+                if len(sample) < allowed:
+                    sample.append(read)
+                else:
+                    j = rng.randint(0, i + 1)
+                    if j < allowed:
+                        sample[j] = read
+            reads = sample
+        rs = RegionalSummary("contig1", region_start, region_end, ref_seq)
+        hap1, hap2 = [], []
+        if train:
+            h1, h2 = get_truth_records(data["truth"], "contig1",
+                                       region_start, region_end)
+            hap1 = [TruthRecord(*t) for t in h1]
+            hap2 = [TruthRecord(*t) for t in h2]
+            rs.generate_labels(hap1, hap2)
+        py = rs.generate_summary(
+            reads, candidate_region_start=region_start + 100,
+            candidate_region_end=region_end - 100, train_mode=train, **kw)
+
+        ref_id = bam._ref_ids["contig1"]
+        chunks = bam._index.chunks_for(ref_id, region_start, fetch_stop)
+        nat = encoder.encode_region_native(
+            data["bam"], chunks, ref_id, "contig1", region_start, fetch_stop,
+            region_start, region_end, ref_seq,
+            include_supplementary=False, min_mapq=5,
+            candidate_region_start=region_start + 100,
+            candidate_region_end=region_end - 100, train_mode=train,
+            hap1=hap1, hap2=hap2, max_reads=max_reads, **kw)
+    return py, nat
+
+
+def assert_equal(py, nat):
+    assert len(py) == len(nat)
+    for a, b in zip(py, nat):
+        assert a.contig == b.contig
+        assert a.position == b.position, (a.position, b.position)
+        assert a.depth == b.depth
+        assert a.candidates == b.candidates
+        assert a.candidate_frequency == b.candidate_frequency
+        assert a.base_label == b.base_label
+        assert a.type_label == b.type_label
+        np.testing.assert_array_equal(a.image, b.image)
+
+
+def test_inference_mode_parity(data):
+    py, nat = run_both(data, 0, 29999)
+    assert len(py) > 10
+    assert_equal(py, nat)
+
+
+def test_train_mode_parity(data):
+    py, nat = run_both(data, 0, 29999, train=True)
+    assert any(c.type_label > 0 for c in py)
+    assert_equal(py, nat)
+
+
+def test_downsampling_parity(data):
+    # max_reads small enough to trigger the reservoir (numpy MT parity)
+    py, nat = run_both(data, 0, 29999, max_reads=50)
+    assert len(py) > 0
+    assert_equal(py, nat)
+
+
+def test_skip_indels_parity(data):
+    py, nat = run_both(data, 5000, 25000, skip_indels=True)
+    assert_equal(py, nat)
+    assert all(c.candidates[0].startswith("1") for c in nat)
