@@ -1,0 +1,115 @@
+"""Polish stage 2 — consensus inference (sliding-window GRU with vote
+accumulation).
+
+Parity: pepper/modules/python/models/predict_distributed_cpu.py:19-105.
+The reference slides a 100-wide window with stride 50 across each
+1000-length image, carrying the GRU hidden state across windows and
+averaging overlap votes through softmax + zero padding; phred comes from
+the vote fraction. Here the entire window loop is traced into ONE jitted
+function (the 19 windows unroll inside the XLA graph; the windowed matmuls
+batch onto the MXU), replacing the reference's ONNX-per-window scheme.
+"""
+import os
+import sys
+import time
+from datetime import datetime
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from pepper_tpu.options import (PolishImageOptions, PolishTrainOptions)
+from pepper_tpu.polish.datastore import (PolishImageStore,
+                                         PolishPredictionStore,
+                                         polish_image_files)
+
+
+def _log(msg: str) -> None:
+    sys.stderr.write("[" + datetime.now().strftime("%m-%d-%Y %H:%M:%S")
+                     + "] INFO: " + msg + "\n")
+    sys.stderr.flush()
+
+
+def make_window_vote_fn(params):
+    """Jitted (images [B,1000,10]) -> (base_labels, phred) with the
+    reference's window/vote/phred semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from pepper_tpu.models.polish_model import polish_forward
+
+    seq_len = PolishImageOptions.SEQ_LENGTH
+    window = PolishTrainOptions.TRAIN_WINDOW
+    jump = PolishTrainOptions.WINDOW_JUMP
+    overlap = PolishImageOptions.SEQ_OVERLAP
+    n_labels = PolishImageOptions.TOTAL_LABELS
+    hidden_size = PolishTrainOptions.HIDDEN_SIZE
+
+    def fn(images):
+        B = images.shape[0]
+        hidden = jnp.zeros((B, 2, hidden_size), images.dtype)
+        votes = jnp.zeros((B, seq_len, n_labels), images.dtype)
+        for i in range(0, seq_len, jump):
+            if i + window > seq_len:
+                break
+            chunk = images[:, i:i + window]
+            logits, hidden = polish_forward(params, chunk, hidden)
+            probs = jax.nn.softmax(logits, axis=2)
+            votes = votes.at[:, i:i + window].add(probs)
+        base_values = jnp.max(votes, axis=2)
+        base_labels = jnp.argmax(votes, axis=2)
+        counts = jnp.ones((B, seq_len - 2 * overlap))
+        counts = jnp.pad(counts, ((0, 0), (overlap, overlap))) + 1.0
+        phred = -10.0 * jnp.log10(
+            jnp.maximum(1e-10, 1.0 - base_values / counts))
+        phred = jnp.minimum(phred, 100.0)
+        return base_labels, phred
+
+    import jax
+    return jax.jit(fn)
+
+
+def call_consensus(image_dir: str, model_path: str, output_dir: str,
+                   batch_size: int = 128) -> str:
+    """Run consensus inference over all polish images; one prediction file."""
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs(output_dir, exist_ok=True)
+    out_path = os.path.join(output_dir, "pepper_prediction_0.hdf")
+
+    from pepper_tpu.runtime.inference import _load_model_params
+    params = jax.tree_util.tree_map(jnp.asarray, _load_model_params(model_path))
+    vote_fn = make_window_vote_fn(params)
+
+    # gather (file, summary) pairs
+    pairs = []
+    for path in polish_image_files(image_dir):
+        with PolishImageStore(path, "r") as store:
+            pairs.extend((path, name) for name in store.summary_names())
+    _log(f"TOTAL SEQUENCES: {len(pairs)}")
+    t0 = time.time()
+
+    with PolishPredictionStore(out_path, "w") as out:
+        for lo in range(0, len(pairs), batch_size):
+            batch_pairs = pairs[lo:lo + batch_size]
+            metas, images = [], []
+            for path, name in batch_pairs:
+                with PolishImageStore(path, "r") as store:
+                    s = store.read_summary(name)
+                metas.append(s)
+                images.append(s["image"])
+            x = np.stack(images).astype(np.float32)
+            pad = 0
+            if len(batch_pairs) < batch_size:
+                pad = batch_size - len(batch_pairs)
+                x = np.concatenate(
+                    [x, np.zeros((pad,) + x.shape[1:], np.float32)])
+            labels, phred = vote_fn(jnp.asarray(x))
+            labels = np.asarray(labels)[:len(batch_pairs)]
+            for meta, base_labels in zip(metas, labels):
+                out.write_prediction(
+                    meta["contig"], meta["region_start"], meta["region_end"],
+                    meta["chunk_id"], meta["position"], meta["index"],
+                    base_labels)
+    _log(f"CONSENSUS INFERENCE COMPLETE [{time.time() - t0:.1f}s]")
+    return out_path

@@ -1,0 +1,41 @@
+"""End-to-end `polish` driver (reference pepper/modules/python/polish.py):
+make_images -> call_consensus -> perform_stitch."""
+import os
+import sys
+import time
+from datetime import datetime
+from typing import Optional
+
+from pepper_tpu.polish.consensus import call_consensus
+from pepper_tpu.polish.make_images import generate_polish_images
+from pepper_tpu.polish.stitch import perform_stitch
+
+
+def _log(msg: str) -> None:
+    sys.stderr.write("[" + datetime.now().strftime("%m-%d-%Y %H:%M:%S")
+                     + "] INFO: " + msg + "\n")
+    sys.stderr.flush()
+
+
+def polish(bam: str, fasta: str, model_path: str, output_dir: str,
+           region: Optional[str] = None, threads: int = 1,
+           batch_size: int = 128, realignment: bool = True) -> str:
+    start_time = time.time()
+    if not output_dir.endswith("/"):
+        output_dir += "/"
+    os.makedirs(output_dir, exist_ok=True)
+    timestr = time.strftime("%m%d%Y_%H%M%S")
+    image_dir = output_dir + f"images_{timestr}/"
+    prediction_dir = output_dir + f"predictions_{timestr}/"
+
+    _log("STEP 1/3 GENERATING IMAGES")
+    generate_polish_images(bam, fasta, image_dir, region=region,
+                           threads=threads, realignment_flag=realignment)
+    _log("STEP 2/3 RUNNING CONSENSUS INFERENCE")
+    call_consensus(image_dir, model_path, prediction_dir,
+                   batch_size=batch_size)
+    _log("STEP 3/3 STITCHING")
+    out = perform_stitch(prediction_dir, output_dir + "PEPPER", threads)
+    elapsed = time.time() - start_time
+    _log(f"TOTAL ELAPSED TIME: {int(elapsed // 60)} Min {int(elapsed % 60)} Sec")
+    return out

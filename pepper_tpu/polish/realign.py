@@ -1,0 +1,65 @@
+"""Read-to-draft local realignment (polish path).
+
+The reference realigns reads to the draft before building the pileup
+(pepper/modules/python/AlignmentSummarizer.py:159-177) using a
+DeepVariant-derived SSW aligner (scoring: match 4 / mismatch 6 / gap open 8
+/ extend 2, aligner.h:22-28). Here: the native affine-gap local aligner
+(pepper_tpu/native/src/align.cpp) rebuilds each read's (pos, CIGAR) against
+the region reference; reads that fail to align keep their original
+alignment, matching the reference's keep-original fallback. Pass-through if
+the native library is unavailable.
+"""
+import ctypes
+from dataclasses import replace
+from typing import List
+
+import numpy as np
+
+from pepper_tpu.io.bam_reader import TrimmedRead
+from pepper_tpu.native import bamio
+
+
+_bound = False
+
+
+def _lib():
+    global _bound
+    bamio._load()
+    lib = bamio._lib
+    if lib is None:
+        return None
+    if not _bound:
+        lib.ssw_align_one.restype = ctypes.c_int
+        lib.ssw_align_one.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        _bound = True
+    return lib
+
+
+def align_reads_to_reference(reads: List[TrimmedRead], ref_seq: str,
+                             ref_start: int) -> List[TrimmedRead]:
+    """Realign each read locally to ref_seq (anchored at ref_start)."""
+    lib = _lib()
+    if lib is None:
+        return reads
+    ref_b = ref_seq.encode()
+    cap = 4096
+    ops = (ctypes.c_uint8 * cap)()
+    lens = (ctypes.c_int32 * cap)()
+    ref_off = ctypes.c_int32(0)
+    out = []
+    for read in reads:
+        n = lib.ssw_align_one(ref_b, len(ref_b), read.sequence.encode(),
+                              len(read.sequence), ctypes.byref(ref_off),
+                              ops, lens, cap)
+        if n <= 0:
+            out.append(read)
+            continue
+        cigar = [(int(ops[i]), int(lens[i])) for i in range(n)]
+        new_pos = ref_start + int(ref_off.value)
+        ref_span = sum(l for op, l in cigar if op in (0, 2, 3, 7, 8))
+        out.append(replace(read, pos=new_pos, pos_end=new_pos + ref_span,
+                           cigar_tuples=cigar))
+    return out

@@ -1,0 +1,107 @@
+"""Polish stage 3 — stitch chunk predictions into the polished FASTA.
+
+Parity: pepper/modules/python/Stitch.py + perform_stitch.py — per-contig
+gather of (position, insert_index)-keyed base predictions across chunks,
+skipping the first 2*MIN_IMAGE_OVERLAP positions of every chunk that
+overlaps its predecessor, sorted concat, decode {1..4}->ACGT (0 -> '').
+"""
+import concurrent.futures
+import os
+import re
+import sys
+import time
+from datetime import datetime
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from pepper_tpu.options import PolishImageOptions
+from pepper_tpu.polish.datastore import (PolishPredictionStore,
+                                         polish_image_files)
+
+LABEL_DECODER = {1: "A", 2: "C", 3: "G", 4: "T", 0: ""}
+
+
+def _log(msg: str) -> None:
+    sys.stderr.write("[" + datetime.now().strftime("%m-%d-%Y %H:%M:%S")
+                     + "] INFO: " + msg + "\n")
+    sys.stderr.flush()
+
+
+def natural_key(s: str):
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
+
+
+def small_chunk_stitch(contig: str,
+                       chunk_keys: List[Tuple[str, str, int, int]]):
+    """Stitch.py:36-94: (pos,index)-keyed de-dup with overlap-buffer skip."""
+    base_prediction: Dict[Tuple[int, int], int] = {}
+    buffer_positions = PolishImageOptions.MIN_IMAGE_OVERLAP * 2
+    for file_name, chunk_key, _st, _end in chunk_keys:
+        with PolishPredictionStore(file_name, "r") as store:
+            for bases, positions, indices in store.read_chunks(contig,
+                                                               chunk_key):
+                for pos, indx, base in zip(positions.tolist(),
+                                           indices.tolist(), bases.tolist()):
+                    if _st > 0 and pos <= _st + buffer_positions:
+                        continue
+                    if indx < 0 or pos < 0:
+                        continue
+                    base_prediction[(pos, indx)] = base
+    if not base_prediction:
+        return -1, -1, ""
+    pos_list = sorted(base_prediction)
+    sequence = "".join(LABEL_DECODER[base_prediction[k]] for k in pos_list)
+    return pos_list[0][0], pos_list[-1][0], sequence
+
+
+def create_consensus_sequence(contig: str, chunk_keys, threads: int) -> str:
+    """Stitch.py:97-128."""
+    chunk_keys = sorted(chunk_keys, key=lambda e: (e[2], e[3]))
+    if threads > 1 and len(chunk_keys) > 2:
+        size = max(2, len(chunk_keys) // threads + 1)
+        pieces = [chunk_keys[i:i + size]
+                  for i in range(0, len(chunk_keys), size)]
+        results = []
+        with concurrent.futures.ProcessPoolExecutor(max_workers=threads) as pool:
+            futures = [pool.submit(small_chunk_stitch, contig, p)
+                       for p in pieces]
+            for fut in concurrent.futures.as_completed(futures):
+                exc = fut.exception()
+                if exc is not None:
+                    raise RuntimeError(f"stitch shard failed: {exc}") from exc
+                results.append(fut.result())
+    else:
+        results = [small_chunk_stitch(contig, chunk_keys)]
+    chunks = sorted((r for r in results if r[0] != -1),
+                    key=lambda e: (e[0], e[1]))
+    return "".join(seq for _, _, seq in chunks)
+
+
+def perform_stitch(prediction_dir: str, output_prefix: str,
+                   threads: int = 1) -> str:
+    """perform_stitch.py:44-84 -> <prefix>_pepper_polished.fa."""
+    prediction_files = polish_image_files(prediction_dir)
+    all_contigs = set()
+    for path in prediction_files:
+        with PolishPredictionStore(path, "r") as store:
+            all_contigs.update(store.contigs())
+
+    output_path = output_prefix + "_pepper_polished.fa"
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    with open(output_path, "w") as fasta:
+        for contig in sorted(all_contigs, key=natural_key):
+            _log(f"PROCESSING CONTIG: {contig}")
+            chunk_keys = []
+            for path in prediction_files:
+                with PolishPredictionStore(path, "r") as store:
+                    if contig not in store.contigs():
+                        continue
+                    for key, start, end in store.chunk_keys(contig):
+                        chunk_keys.append((path, key, start, end))
+            sequence = create_consensus_sequence(contig, chunk_keys, threads)
+            _log(f"FINISHED {contig}, POLISHED SEQUENCE LENGTH: {len(sequence)}")
+            if sequence:
+                fasta.write(">" + contig + "\n")
+                fasta.write(sequence + "\n")
+    return output_path
