@@ -139,7 +139,8 @@ def create_region_summary(config: PipelineConfig, bam: BamReader,
     """One region's candidate images (AlignmentSummarizer.create_summary)."""
     safe = ConsensCandidateFinder.REGION_SAFE_BASES
 
-    use_native = not os.environ.get("PEPPER_TPU_NO_NATIVE")
+    use_native = (not os.environ.get("PEPPER_TPU_NO_NATIVE")
+                  and not config.use_hp_info)
     if use_native:
         from pepper_tpu.native import encoder as native_encoder
         use_native = native_encoder.available()
@@ -189,7 +190,14 @@ def create_region_summary(config: PipelineConfig, bam: BamReader,
         reads = reservoir_downsample(reads, config.downsample_rate)
         if not reads:
             return []
-        summary = RegionalSummary(chromosome, region_start, region_end, ref_seq)
+        if config.use_hp_info:
+            # PEPPER-HP second pass: 48-feature dual-haplotype encoder
+            from pepper_tpu.encode.region_encoder_hp import RegionalSummaryHP
+            summary = RegionalSummaryHP(chromosome, region_start, region_end,
+                                        ref_seq)
+        else:
+            summary = RegionalSummary(chromosome, region_start, region_end,
+                                      ref_seq)
         if train:
             summary.generate_labels(hap1, hap2)
         return summary.generate_summary(

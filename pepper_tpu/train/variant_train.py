@@ -143,7 +143,10 @@ def train(train_image_dir: str, test_image_dir: str, model_dir: str,
         _log(f"RETRAIN MODEL LOADED: {retrain_model_path}")
     else:
         key, pkey = jax.random.split(key)
-        params = init_variant_params(pkey)
+        # window/feature geometry inferred from the data, so HP images
+        # ([B,21,48]) and base images ([B,33,26]) both train unchanged
+        params = init_variant_params(pkey, image_features=images.shape[2],
+                                     window=images.shape[1])
     params = replicate(mesh, params)
 
     optimizer = make_optimizer(weight_decay)
