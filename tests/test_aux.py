@@ -1,0 +1,103 @@
+"""Aux subsystem tests: train CLIs, hyperband, helpers, multihost sharding."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pepper_tpu.train.hyperband import run_hyperband, sample_config
+from pepper_tpu.utils.pileup_debug import render_pileup
+from pepper_tpu.utils.vcf_stats import compare_vcfs, vcf_stats
+from tests.test_region_encoder import mk_read
+from pepper_tpu.io.sam import OP_M, OP_D
+
+
+def test_hyperband_converges_with_fake_trainer():
+    calls = []
+
+    def fake_train(config, epochs, run_dir):
+        # quadratic bowl around lr=1e-3: closer lr -> higher accuracy
+        accuracy = 100.0 - abs(np.log10(config["lr"]) + 3) * 10
+        calls.append((config, epochs))
+        return accuracy, run_dir
+
+    best = run_hyperband("x", "y", "/tmp/hb", max_epochs=9, eta=3, seed=1,
+                         train_fn=fake_train)
+    assert best["accuracy"] > 80
+    assert abs(np.log10(best["lr"]) + 3) < 2.0
+    assert len(calls) > 5
+
+
+def test_sample_config_ranges():
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        c = sample_config(rng)
+        assert 1e-5 <= c["lr"] <= 1e-2
+        assert 1e-7 <= c["weight_decay"] <= 1e-4
+
+
+def test_render_pileup_marks():
+    ref = "ACGTACGTAC"
+    reads = [
+        mk_read(0, ref, [(OP_M, 10)], name="match"),
+        mk_read(0, "ACGTTCGTAC", [(OP_M, 10)], name="mm"),
+        mk_read(0, ref[:4] + ref[6:], [(OP_M, 4), (OP_D, 2), (OP_M, 4)],
+                name="del"),
+    ]
+    text = render_pileup(ref, 0, reads)
+    assert "REF ACGTACGTAC" in text
+    assert ".........." in text           # full match row
+    assert "....T....." in text           # mismatch marked
+    assert "....**...." in text           # deletion marked
+
+
+def test_vcf_stats_and_compare(tmp_path):
+    vcf = tmp_path / "a.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+        "c1\t10\t.\tA\tT\t60\tPASS\t.\tGT\t0/1\n"
+        "c1\t20\t.\tAT\tA\t60\tPASS\t.\tGT\t1/1\n"
+        "c1\t30\t.\tG\tGC\t60\trefCall\t.\tGT\t0/0\n")
+    stats = vcf_stats(str(vcf))
+    assert stats["total"] == 3
+    assert stats["kinds"] == {"SNP": 1, "DELETE": 1, "INSERT": 1}
+    assert stats["genotypes"]["0/1"] == 1
+    vcf_b = tmp_path / "b.vcf"
+    vcf_b.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+        "c1\t10\t.\tA\tT\t60\tPASS\t.\tGT\t0/1\n"
+        "c1\t40\t.\tC\tG\t60\tPASS\t.\tGT\t0/1\n")
+    cmp_res = compare_vcfs(str(vcf), str(vcf_b))
+    assert cmp_res["shared"] == 1
+    assert cmp_res["only_a"] == 2 and cmp_res["only_b"] == 1
+    assert cmp_res["genotype_concordance"] == 1.0
+
+
+def test_host_shard_single_host():
+    from pepper_tpu.parallel.multihost import host_count, host_shard
+    assert host_count() == 1
+    assert host_shard([1, 2, 3]) == [1, 2, 3]
+
+
+def _run_cli(module, *args):
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, "-m", module, *args], capture_output=True,
+        text=True, env=env, timeout=240)
+
+
+def test_train_cli_help_and_errors():
+    for module in ("pepper_tpu.cli.pepper_variant_train_main",
+                   "pepper_tpu.cli.pepper_train_main",
+                   "pepper_tpu.cli.pepper_variant_main",
+                   "pepper_tpu.cli.pepper_main"):
+        proc = _run_cli(module, "--help")
+        assert proc.returncode == 0, proc.stderr
+        assert "usage" in proc.stdout.lower()
+    # missing required flag -> argparse error exit 2
+    proc = _run_cli("pepper_tpu.cli.pepper_variant_train_main", "train_model")
+    assert proc.returncode == 2
