@@ -69,36 +69,51 @@ def encode_all(fasta_path, bam_path):
     config = set_parameters(PipelineConfig(
         bam=bam_path, fasta=fasta_path, sub_command="call_variant",
         ont_r9_guppy5_sup=True))
-    images = []
-    with BamReader(bam_path) as bam, FastaReader(fasta_path) as fa:
+    with FastaReader(fasta_path) as fa:
         contig = fa.get_chromosome_names()[0]
         length = fa.get_chromosome_sequence_length(contig)
-        for start in range(0, length, 100_000):
+
+    def one(start):
+        # the native encode releases the GIL, so region-level threads give
+        # real host parallelism without per-process memory warmup
+        with BamReader(bam_path) as bam, FastaReader(fasta_path) as fa:
             end = min(start + 100_000, length) - 1
-            cands = create_region_summary(config, bam, fa, contig, start, end)
-            if cands:
-                images.extend(c.image for c in cands)
-    return (np.stack(images).astype(np.float32) if images
-            else np.zeros((0, 33, 26), np.float32))
+            return create_region_summary(config, bam, fa, contig, start, end)
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(4) as pool:
+        results = list(pool.map(one, range(0, length, 100_000)))
+    images = [c.image for r in results if r for c in r]
+    return (np.stack(images).astype(np.int8) if images
+            else np.zeros((0, 33, 26), np.int8))
 
 
 def tpu_inference(images):
+    """bf16 batched inference, transfers enqueued ahead of compute (the
+    runtime's production scheme, runtime/inference.py)."""
     import jax
     import jax.numpy as jnp
     from pepper_tpu.models.variant_model import (init_variant_params,
                                                  variant_forward)
+    device_batch = 4096
     params = init_variant_params(jax.random.PRNGKey(0))
-    params = jax.tree_util.tree_map(jnp.asarray, params)
-    fwd = jax.jit(variant_forward)
-    pad = (-len(images)) % BATCH
-    x = np.concatenate([images, np.zeros((pad,) + images.shape[1:],
-                                         np.float32)]) if pad else images
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.bfloat16), params)
+
+    @jax.jit
+    def fwd(p, x):
+        return variant_forward(p, x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    # transfer int8 (the stores' native dtype) and cast on device
+    x = images.astype(np.int8)
+    pad = (-len(x)) % device_batch
+    if pad:
+        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], np.int8)])
     # warmup/compile
-    jax.block_until_ready(fwd(params, jnp.asarray(x[:BATCH])))
+    jax.block_until_ready(fwd(params, jnp.asarray(x[:device_batch])))
     t0 = time.time()
-    outs = []
-    for lo in range(0, len(x), BATCH):
-        outs.append(fwd(params, jnp.asarray(x[lo:lo + BATCH])))
+    outs = [fwd(params, jnp.asarray(x[lo:lo + device_batch]))
+            for lo in range(0, len(x), device_batch)]
     jax.block_until_ready(outs)
     return time.time() - t0, jax.devices()[0].platform
 
@@ -109,7 +124,7 @@ def torch_cpu_inference(images):
     torch.set_num_threads(1)  # per-caller setup of the reference
     from tests.test_models import TorchVariantModel
     model = TorchVariantModel().eval()
-    subset = images[:min(4096, len(images))]
+    subset = images[:min(4096, len(images))].astype(np.float32)
     pad = (-len(subset)) % BATCH
     x = np.concatenate([subset, np.zeros((pad,) + subset.shape[1:],
                                          np.float32)]) if pad else subset

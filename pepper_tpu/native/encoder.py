@@ -4,6 +4,7 @@ Returns the same CandidateImage objects as the Python RegionalSummary path;
 tests/test_native_encode.py asserts bit-equality between the two backends.
 """
 import ctypes
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -31,6 +32,7 @@ class _EncodeResult(ctypes.Structure):
 
 
 _bound = False
+_bind_lock = threading.Lock()
 
 
 def _lib():
@@ -39,7 +41,11 @@ def _lib():
     lib = bamio._lib
     if lib is None:
         raise RuntimeError(f"native encoder unavailable: {bamio._build_error}")
-    if not _bound:
+    if _bound:
+        return lib
+    with _bind_lock:
+        if _bound:
+            return lib
         lib.encode_region.restype = ctypes.POINTER(_EncodeResult)
         lib.encode_region.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,

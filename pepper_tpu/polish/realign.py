@@ -20,6 +20,7 @@ from pepper_tpu.native import bamio
 
 
 _bound = False
+_bind_lock = __import__("threading").Lock()
 
 
 def _lib():
@@ -28,13 +29,17 @@ def _lib():
     lib = bamio._lib
     if lib is None:
         return None
-    if not _bound:
-        lib.ssw_align_one.restype = ctypes.c_int
-        lib.ssw_align_one.argtypes = [
-            ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
-        _bound = True
+    if _bound:
+        return lib
+    with _bind_lock:
+        if not _bound:
+            lib.ssw_align_one.restype = ctypes.c_int
+            lib.ssw_align_one.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+            _bound = True
     return lib
 
 
