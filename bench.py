@@ -141,11 +141,14 @@ def main():
     fasta, bam = get_dataset()
 
     # warm-up pass: this microVM provisions memory pages lazily and slowly;
-    # production is a long-running process, so measure steady state.
+    # production is a long-running process, so measure steady state. The
+    # box is small and noisy — report the best of 3 passes.
     encode_all(fasta, bam)
-    t0 = time.time()
-    images = encode_all(fasta, bam)
-    t_host = time.time() - t0
+    t_host = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        images = encode_all(fasta, bam)
+        t_host = min(t_host, time.time() - t0)
     log(f"host fetch+encode: {t_host:.2f}s, {len(images)} candidate windows")
 
     t_dev, platform = tpu_inference(images)

@@ -273,12 +273,36 @@ EncodeResult* encode_region(
     matrix[(size_t)i * feature_size] = ref_value(ref_seq[i]);
   std::vector<int32_t> coverage(L, 0), snp_count(L, 0), insert_count(L, 0),
       delete_count(L, 0);
+  // SNP alleles on ACGT read bases dominate (one per mismatch); keep them
+  // in flat per-position counters and reserve the string-keyed map for
+  // indels and exotic bases. Merged lexicographically at extraction.
+  std::vector<std::array<int32_t, 12>> snp_cnt(L);  // [base*3 + {tot,fwd,rev}]
+  memset(snp_cnt.data(), 0, snp_cnt.size() * sizeof(snp_cnt[0]));
   std::vector<std::map<std::string, AlleleCount>> alleles(L);
 
+  auto base_code = [](char b) -> int {
+    switch (b) {
+      case 'A': return 0;
+      case 'C': return 1;
+      case 'G': return 2;
+      case 'T': return 3;
+      default: return -1;
+    }
+  };
   auto add_allele = [&](int64_t idx, const std::string& cand, bool rev) {
     auto& e = alleles[idx][cand];
     e.total += 1;
     if (rev) e.rev += 1; else e.fwd += 1;
+  };
+  auto add_snp_allele = [&](int64_t idx, char base, bool rev) {
+    int bc = base_code(base);
+    if (bc < 0) {
+      add_allele(idx, std::string("1") + base, rev);
+      return;
+    }
+    auto& e = snp_cnt[idx];
+    e[bc * 3] += 1;
+    e[bc * 3 + (rev ? 2 : 1)] += 1;
   };
 
   for (const auto& read : reads) {
@@ -319,7 +343,7 @@ EncodeResult* encode_region(
           if (fi >= 0) matrix[(size_t)idx * feature_size + fi] -= 1;
           if (base != rbase) {
             snp_count[idx] += 1;
-            add_allele(idx, std::string("1") + base, rev);
+            add_snp_allele(idx, base, rev);
           }
         }
         read_index += n;
@@ -468,10 +492,20 @@ EncodeResult* encode_region(
   Out out;
   out.cand_offsets.push_back(0);
   std::vector<int32_t> image((size_t)win1 * feature_size);
+  std::map<std::string, AlleleCount> site;
   for (int64_t idx : filtered) {
     int64_t pos = region_start + idx;
     int depth = std::min(coverage[idx], (int32_t)MAXV);
-    for (const auto& [cand, ac] : alleles[idx]) {  // std::map: lexicographic
+    // merge flat SNP counters back into the (lexicographic) site map
+    site = alleles[idx];
+    static const char* SNP_KEYS[4] = {"1A", "1C", "1G", "1T"};
+    for (int bc = 0; bc < 4; bc++) {
+      const auto& e = snp_cnt[idx];
+      if (e[bc * 3] > 0)
+        site[SNP_KEYS[bc]] = AlleleCount{e[bc * 3], e[bc * 3 + 1],
+                                         e[bc * 3 + 2]};
+    }
+    for (const auto& [cand, ac] : site) {  // std::map: lexicographic
       char ctype = cand[0];
       double freq = ac.total / std::max(1.0, (double)depth);
       if (ac.total < cand_support) continue;
