@@ -33,7 +33,7 @@ from pepper_tpu.pipelines.datastore import ImageStore
 # b37 GL* decoys, hs37d5, b38 chrUn/_random/_alt/_decoy/HLA-* and
 # KI/KN/KQ/KV/KZ/JH scaffolds.
 _EXCLUDE_PATTERNS = re.compile(
-    r"^(GL\d|hs37d5|NC_007605|chrUn|HLA-|KI\d|KN\d|KQ\d|KV\d|KZ\d|JH\d)"
+    r"^(GL\d|hs37d5|NC_007605|chrUn|chrEBV$|HLA-|KI\d|KN\d|KQ\d|KV\d|KZ\d|JH\d)"
     r"|_(random|alt|decoy)$|_hap\d")
 
 

@@ -101,3 +101,22 @@ def test_train_cli_help_and_errors():
     # missing required flag -> argparse error exit 2
     proc = _run_cli("pepper_tpu.cli.pepper_variant_train_main", "train_model")
     assert proc.returncode == 2
+
+
+@pytest.mark.skipif(not os.path.isfile(
+    "/root/reference/pepper_variant/modules/python/ExcludeContigs.py"),
+    reason="reference not mounted")
+def test_excluded_contig_patterns_cover_reference_list():
+    """Our pattern rules must exclude every contig in the reference's
+    verbatim list and no canonical human contigs."""
+    from pepper_tpu.pipelines.make_images import is_excluded_human_contig
+    ns = {}
+    exec(open("/root/reference/pepper_variant/modules/python/"
+              "ExcludeContigs.py").read(), ns)
+    missed = [c for c in ns["EXCLUDED_HUMAN_CONTIGS"]
+              if not is_excluded_human_contig(c)]
+    assert not missed, missed[:10]
+    canonical = ([f"chr{i}" for i in range(1, 23)]
+                 + ["chrX", "chrY", "chrM"]
+                 + [str(i) for i in range(1, 23)] + ["X", "Y", "MT"])
+    assert not [c for c in canonical if is_excluded_human_contig(c)]

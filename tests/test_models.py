@@ -150,3 +150,50 @@ def test_torch_pkl_checkpoint_import(tmp_path):
         want = m(x)
     got = variant_forward(params, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+
+class TorchTransformerModel(nn.Module):
+    """Reference-architecture twin of the alternate transformer classifier."""
+
+    def __init__(self, F=26, window=33, n_classes=3, C=4):
+        super().__init__()
+        self.conv1 = nn.Conv2d(1, C, kernel_size=3, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(C)
+        self.relu = nn.ReLU()
+        self.conv2 = nn.Conv2d(C, C, kernel_size=3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(C)
+        layer = nn.TransformerEncoderLayer(d_model=C * F, nhead=8,
+                                           batch_first=True)
+        self.encoder = nn.TransformerEncoder(layer, num_layers=6)
+        self.linear_1 = nn.Linear(C * F * window, 128)
+        self.linear_2 = nn.Linear(128, 64)
+        self.linear_3 = nn.Linear(64, 32)
+        self.linear_4 = nn.Linear(32, 16)
+        self.linear_5 = nn.Linear(16, 8)
+        self.output_layer = nn.Linear(8, n_classes)
+
+    def forward(self, x):
+        x = torch.reshape(x, (x.size(0), 1, x.size(1), x.size(2)))
+        residual = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        out = self.relu(out + residual)
+        out = torch.reshape(out, (out.size(0), out.size(2),
+                                  out.size(1) * out.size(3)))
+        out = self.encoder(out)
+        out = torch.flatten(out, 1, 2)
+        for lin in (self.linear_1, self.linear_2, self.linear_3,
+                    self.linear_4, self.linear_5):
+            out = self.relu(lin(out))
+        return torch.softmax(self.output_layer(out), dim=1)
+
+
+def test_transformer_model_matches_torch():
+    from pepper_tpu.models.variant_transformer import transformer_forward
+    m = TorchTransformerModel().eval()
+    x = torch.randn(3, 33, 26)
+    with torch.no_grad():
+        want = m(x)
+    params = from_torch_state_dict(m.state_dict())
+    got = transformer_forward(params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=3e-5)
