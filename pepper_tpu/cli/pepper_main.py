@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Directory with prediction files.")
     st.add_argument("-o", "--output_dir", required=True)
     st.add_argument("-t", "--threads", type=int, default=1)
+    st.add_argument("--stitcher", choices=("v1", "v2"), default="v1",
+                    help="v1: positional de-dup (default); v2: overlap "
+                         "alignment (StitchV2).")
 
     dm = sub.add_parser("download_models", help="Download trained models.")
     dm.add_argument("-o", "--output_dir", required=True)
@@ -74,7 +77,7 @@ def main(argv=None) -> int:
     elif args.sub_command == "stitch":
         from pepper_tpu.polish.stitch import perform_stitch
         perform_stitch(args.input_dir, args.output_dir.rstrip("/") + "/PEPPER",
-                       args.threads)
+                       args.threads, stitcher=args.stitcher)
     elif args.sub_command == "download_models":
         sys.stderr.write(
             "ERROR: this environment has no network egress; place trained "

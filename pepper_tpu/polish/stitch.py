@@ -55,8 +55,10 @@ def small_chunk_stitch(contig: str,
     return pos_list[0][0], pos_list[-1][0], sequence
 
 
-def create_consensus_sequence(contig: str, chunk_keys, threads: int) -> str:
-    """Stitch.py:97-128."""
+def create_consensus_sequence(contig: str, chunk_keys, threads: int,
+                              stitcher: str = "v1") -> str:
+    """Stitch.py:97-128 (v1); 'v2' merges shard results by overlap
+    alignment (StitchV2 parity, polish/stitch_v2.py)."""
     chunk_keys = sorted(chunk_keys, key=lambda e: (e[2], e[3]))
     if threads > 1 and len(chunk_keys) > 2:
         size = max(2, len(chunk_keys) // threads + 1)
@@ -75,11 +77,17 @@ def create_consensus_sequence(contig: str, chunk_keys, threads: int) -> str:
         results = [small_chunk_stitch(contig, chunk_keys)]
     chunks = sorted((r for r in results if r[0] != -1),
                     key=lambda e: (e[0], e[1]))
+    if not chunks:
+        return ""
+    if stitcher == "v2" and len(chunks) > 1:
+        from pepper_tpu.polish.stitch_v2 import alignment_stitch
+        return alignment_stitch(
+            [(contig, first, last, seq) for first, last, seq in chunks])[3]
     return "".join(seq for _, _, seq in chunks)
 
 
 def perform_stitch(prediction_dir: str, output_prefix: str,
-                   threads: int = 1) -> str:
+                   threads: int = 1, stitcher: str = "v1") -> str:
     """perform_stitch.py:44-84 -> <prefix>_pepper_polished.fa."""
     prediction_files = polish_image_files(prediction_dir)
     all_contigs = set()
@@ -99,7 +107,8 @@ def perform_stitch(prediction_dir: str, output_prefix: str,
                         continue
                     for key, start, end in store.chunk_keys(contig):
                         chunk_keys.append((path, key, start, end))
-            sequence = create_consensus_sequence(contig, chunk_keys, threads)
+            sequence = create_consensus_sequence(contig, chunk_keys, threads,
+                                                 stitcher=stitcher)
             _log(f"FINISHED {contig}, POLISHED SEQUENCE LENGTH: {len(sequence)}")
             if sequence:
                 fasta.write(">" + contig + "\n")

@@ -186,3 +186,22 @@ def test_polish_end_to_end_corrects_draft(polish_dataset):
             recovered += 1
     assert checked >= 10
     assert recovered / checked >= 0.7, (recovered, checked)
+
+
+def test_stitch_v2_alignment_merge():
+    from pepper_tpu.polish.stitch_v2 import alignment_stitch
+    true = ("ACGGATTACAGGCTTACGGATCCAGATTACAGGCTTAACCGGTTACGATCGATCGGATC"
+            "CTAGCTAGCATCGATCGATTTACGGCATCGATCA")
+    # two chunks with a 20-base overlap, identical content in the overlap
+    a = ("c1", 0, 60, true[:60])
+    b = ("c1", 40, len(true), true[40:])
+    contig, start, end, seq = alignment_stitch([a, b])
+    assert seq == true
+    # unalignable overlap -> joined with 10 Ns
+    junk = ("c1", 40, 99, "TTTTTTTTTTTTTTTTTTTT")
+    _, _, _, seq2 = alignment_stitch([a, junk])
+    assert "N" * 10 in seq2
+    # disjoint chunks -> plain concat
+    c = ("c1", 80, 120, "GGGG")
+    _, _, _, seq3 = alignment_stitch([a, ("c1", 70, 80, "AAAA")])
+    assert seq3 == true[:60] + "AAAA"
