@@ -81,6 +81,13 @@ def get_chromosome_list(region: Optional[str], fasta: str, bam: str
         m = re.match(r"^([^:]+):(\d+)-(\d+)$", name)
         if m:
             out.append((m.group(1), (int(m.group(2)), int(m.group(3)))))
+            continue
+        # contig range syntax, e.g. 'chr1-5' (ImageGenerationUI.py:155-172)
+        m = re.match(r"^([A-Za-z_]+)(\d+)-(?:[A-Za-z_]+)?(\d+)$", name)
+        if m:
+            prefix, lo, hi = m.group(1), int(m.group(2)), int(m.group(3))
+            for i in range(min(lo, hi), max(lo, hi) + 1):
+                out.append((f"{prefix}{i}", None))
         else:
             out.append((name, None))
     return out

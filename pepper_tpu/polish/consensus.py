@@ -44,16 +44,23 @@ def make_window_vote_fn(params):
     n_labels = PolishImageOptions.TOTAL_LABELS
     hidden_size = PolishTrainOptions.HIDDEN_SIZE
 
+    import os
+    use_bf16 = (os.environ.get("PEPPER_TPU_PRECISION", "bf16") != "f32"
+                and jax.devices()[0].platform != "cpu")
+    cdtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    cparams = jax.tree_util.tree_map(lambda a: a.astype(cdtype), params)
+
     def fn(images):
         B = images.shape[0]
-        hidden = jnp.zeros((B, 2, hidden_size), images.dtype)
-        votes = jnp.zeros((B, seq_len, n_labels), images.dtype)
+        x = images.astype(cdtype)
+        hidden = jnp.zeros((B, 2, hidden_size), cdtype)
+        votes = jnp.zeros((B, seq_len, n_labels), jnp.float32)
         for i in range(0, seq_len, jump):
             if i + window > seq_len:
                 break
-            chunk = images[:, i:i + window]
-            logits, hidden = polish_forward(params, chunk, hidden)
-            probs = jax.nn.softmax(logits, axis=2)
+            chunk = x[:, i:i + window]
+            logits, hidden = polish_forward(cparams, chunk, hidden)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=2)
             votes = votes.at[:, i:i + window].add(probs)
         base_values = jnp.max(votes, axis=2)
         base_labels = jnp.argmax(votes, axis=2)
@@ -98,12 +105,13 @@ def call_consensus(image_dir: str, model_path: str, output_dir: str,
                     s = store.read_summary(name)
                 metas.append(s)
                 images.append(s["image"])
-            x = np.stack(images).astype(np.float32)
+            # ship uint8 (the store's native dtype); cast on device
+            x = np.stack(images)
             pad = 0
             if len(batch_pairs) < batch_size:
                 pad = batch_size - len(batch_pairs)
                 x = np.concatenate(
-                    [x, np.zeros((pad,) + x.shape[1:], np.float32)])
+                    [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
             labels, phred = vote_fn(jnp.asarray(x))
             labels = np.asarray(labels)[:len(batch_pairs)]
             for meta, base_labels in zip(metas, labels):

@@ -120,3 +120,13 @@ def test_excluded_contig_patterns_cover_reference_list():
                  + ["chrX", "chrY", "chrM"]
                  + [str(i) for i in range(1, 23)] + ["X", "Y", "MT"])
     assert not [c for c in canonical if is_excluded_human_contig(c)]
+
+
+def test_contig_range_region_syntax(tmp_path):
+    from pepper_tpu.pipelines.make_images import get_chromosome_list
+    out = get_chromosome_list("chr1-3", "unused", "unused")
+    assert out == [("chr1", None), ("chr2", None), ("chr3", None)]
+    out = get_chromosome_list("chr20:100-200,chr21", "unused", "unused")
+    assert out == [("chr20", (100, 200)), ("chr21", None)]
+    out = get_chromosome_list("contig1", "unused", "unused")
+    assert out == [("contig1", None)]
