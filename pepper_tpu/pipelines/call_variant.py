@@ -51,16 +51,21 @@ def call_variant(config: PipelineConfig) -> dict:
     image_dir = output_dir + f"images_{timestr}/"
     prediction_dir = output_dir + f"predictions_{timestr}/"
 
+    from pepper_tpu.utils.profiling import stage
+
     _log(f"RUN-ID: {timestr}")
     _log("STEP 1/3 GENERATING IMAGES:")
     config.image_output_directory = image_dir
-    generate_images(config)
+    with stage("make_images"):
+        generate_images(config)
 
     _log("STEP 2/3 RUNNING INFERENCE")
-    run_inference(config, image_dir, prediction_dir)
+    with stage("inference"):
+        run_inference(config, image_dir, prediction_dir)
 
     _log("STEP 3/3 FINDING CANDIDATES")
-    vcf_paths = process_candidates(config, prediction_dir, output_dir)
+    with stage("find_candidates"):
+        vcf_paths = process_candidates(config, prediction_dir, output_dir)
 
     elapsed = time.time() - start_time
     _log(f"TOTAL ELAPSED TIME: {int(elapsed // 60)} Min {int(elapsed % 60)} Sec")

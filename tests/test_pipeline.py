@@ -122,3 +122,51 @@ def test_run_inference_empty_dir(dataset, tmp_path):
     os.makedirs(empty)
     out = run_inference(config, empty, str(tmp_path / "preds"))
     assert os.path.isfile(out)
+
+
+def test_multi_contig_pipeline(tmp_path):
+    """Two contigs end to end: per-contig candidates, VCF ordering, tabix."""
+    tmp = str(tmp_path)
+    genome = random_genome(8000, seed=101, n_contigs=2)
+    variants = plant_variants(dict(genome), n_snp=3, n_ins=1, n_del=1,
+                              seed=103)
+    records = simulate_reads(genome, variants, coverage=35, seed=107)
+    fasta, bam = write_dataset(tmp, genome, records)
+    truth = write_truth_vcf(os.path.join(tmp, "truth.vcf"), genome, variants)
+    from pepper_tpu.presets import set_parameters
+    config = set_parameters(PipelineConfig(
+        bam=bam, fasta=fasta, output_dir=tmp + "/out/",
+        sub_command="call_variant", ont_r9_guppy5_sup=True, threads=1,
+        dry=True, train_mode=True, truth_vcf=truth,
+        random_draw_probability=1.0,
+        image_output_directory=tmp + "/images/"))
+    generate_images(config)
+    run_inference(config, tmp + "/images/", tmp + "/preds/")
+    paths = process_candidates(config, tmp + "/preds/", tmp + "/out/")
+    records_out = read_vcf(paths["full"])
+    contigs_seen = {r.contig for r in records_out}
+    assert contigs_seen == {"contig1", "contig2"}
+    by_pos = {(r.contig, r.pos): r for r in records_out}
+    for v in variants:
+        assert (v.contig, v.pos) in by_pos, v
+        assert v.alt in by_pos[(v.contig, v.pos)].alts
+
+
+def test_region_bed_restricts_output(tmp_path, dataset):
+    """Train-mode bed intersection: only candidates inside the bed appear."""
+    tmp = str(tmp_path)
+    bed = os.path.join(tmp, "regions.bed")
+    with open(bed, "w") as fh:
+        fh.write("contig1\t0\t10000\n")
+    config = make_config(dataset, region_bed=bed)
+    config.image_output_directory = tmp + "/images/"
+    generate_images(config)
+    run_inference(config, tmp + "/images/", tmp + "/preds/")
+    paths = process_candidates(config, tmp + "/preds/", tmp + "/out/")
+    recs = read_vcf(paths["full"])
+    assert recs, "bed-restricted run should still find in-bed variants"
+    assert all(r.pos < 10000 for r in recs)
+    in_bed = [v for v in dataset["variants"] if v.pos < 9900]
+    by_pos = {(r.contig, r.pos) for r in recs}
+    for v in in_bed:
+        assert (v.contig, v.pos) in by_pos
