@@ -67,6 +67,9 @@ def _lib():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
         ]
+        lib.encode_region_hp.restype = ctypes.POINTER(_EncodeResult)
+        # same signature as encode_region
+        lib.encode_region_hp.argtypes = lib.encode_region.argtypes
         lib.encode_result_free.argtypes = [ctypes.POINTER(_EncodeResult)]
         lib.encode_result_free.restype = None
         _bound = True
@@ -111,7 +114,8 @@ def encode_region_native(
         max_reads: int = AlignerOptions.MAX_READS_IN_REGION,
         random_seed: int = AlignerOptions.RANDOM_SEED,
         window_size: int = ImageOptions.CANDIDATE_WINDOW_SIZE,
-        feature_size: int = ImageOptions.IMAGE_HEIGHT) -> List[CandidateImage]:
+        feature_size: int = ImageOptions.IMAGE_HEIGHT,
+        hp_mode: bool = False) -> List[CandidateImage]:
     lib = _lib()
     flat = np.asarray(chunks, dtype=np.uint64).reshape(-1)
     t1 = _flatten_truth(hap1)
@@ -123,7 +127,8 @@ def encode_region_native(
     def p32(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
-    res_ptr = lib.encode_region(
+    fn = lib.encode_region_hp if hp_mode else lib.encode_region
+    res_ptr = fn(
         bam_path.encode(),
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(chunks),
         ref_id, fetch_start, fetch_stop, region_start, region_end,

@@ -615,3 +615,392 @@ EncodeResult* encode_region(
 }
 
 }  // extern "C"
+
+
+// ---------------------------------------------------------------------------
+// PEPPER-HP fused encoder — port of the tested oracle
+// pepper_tpu/encode/region_encoder_hp.py (48-feature dual-haplotype windows;
+// see that file's docstring for the HP-specific semantics preserved here).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct AlleleCountHP { int total = 0, f1 = 0, f2 = 0, r1 = 0, r2 = 0; };
+
+inline int feature_index_hp(char ref_base, char base, bool rev, int block) {
+  if (!ref_ok(ref_base)) return -1;
+  int start = (block == 1) ? (rev ? 18 : 7) : (rev ? 40 : 29);
+  switch (base) {
+    case 'A': return start + 1;
+    case 'C': return start + 2;
+    case 'G': return start + 3;
+    case 'T': return start + 4;
+    case 'I': return start + 5;
+    case 'D': return start + 6;
+    default: return start + 7;
+  }
+}
+
+}  // namespace
+
+extern "C" EncodeResult* encode_region_hp(
+    const char* bam_path, const uint64_t* chunks, int n_chunks,
+    int32_t ref_id, int64_t fetch_start, int64_t fetch_stop,
+    int64_t region_start, int64_t region_end, const char* ref_seq_c,
+    int include_suppl, int min_mapq,
+    double min_snp_baseq, double min_indel_baseq, double snp_freq,
+    double ins_freq, double del_freq, double min_cov, double snp_cand_freq,
+    double indel_cand_freq, double cand_support, int skip_indels,
+    int64_t cand_region_start, int64_t cand_region_end, int window_size,
+    int feature_size, int train_mode,
+    int64_t max_reads, double downsample_rate, uint32_t random_seed,
+    int n_t1, const int64_t* t1_pos, const int64_t* t1_end,
+    const int32_t* t1_ref_off, const char* t1_ref_buf,
+    const int32_t* t1_alt_off, const char* t1_alt_buf,
+    int n_t2, const int64_t* t2_pos, const int64_t* t2_end,
+    const int32_t* t2_ref_off, const char* t2_ref_buf,
+    const int32_t* t2_alt_off, const char* t2_alt_buf) {
+  const int64_t L = region_end - region_start + 1;
+  const std::string ref_seq(ref_seq_c);
+  const int win1 = window_size + 1;
+  const int half = window_size / 2;
+
+  // ---- fetch + trim + reservoir (identical to encode_region) ----
+  std::vector<TrimmedReadN> reads;
+  {
+    std::vector<TrimmedReadN> all;
+    TrimmedReadN tr;
+    pep::for_each_record(
+        bam_path, chunks, n_chunks, ref_id, fetch_start, fetch_stop,
+        include_suppl != 0, min_mapq, [&](const pep::BamRecord& rec) {
+          if (pep::trim_record(rec, fetch_start, fetch_stop, tr))
+            all.push_back(tr);
+        });
+    int64_t total = (int64_t)all.size();
+    int64_t allowed = (int64_t)std::min<double>(
+        (double)max_reads, downsample_rate * (double)total);
+    if (total > allowed) {
+      NumpyMT mt;
+      mt.init_genrand(random_seed);
+      mt.mti = 624;
+      std::vector<int64_t> sample_idx;
+      for (int64_t i = 0; i < total; i++) {
+        if ((int64_t)sample_idx.size() < allowed) {
+          sample_idx.push_back(i);
+        } else {
+          int64_t j = (int64_t)mt.bounded((uint64_t)i);
+          if (j < allowed) sample_idx[j] = i;
+        }
+      }
+      reads.reserve(sample_idx.size());
+      for (int64_t i : sample_idx) reads.push_back(std::move(all[i]));
+    } else {
+      reads = std::move(all);
+    }
+  }
+
+  std::vector<int32_t> matrix((size_t)(L + 1) * feature_size, 0);
+  for (int64_t i = 0; i < L; i++)
+    matrix[(size_t)i * feature_size] = ref_value(ref_seq[i]);
+  std::vector<int32_t> coverage(L, 0), snp_count(L, 0), insert_count(L, 0),
+      delete_count(L, 0);
+  std::vector<std::map<std::string, AlleleCountHP>> alleles(L);
+
+  auto add_allele = [&](int64_t idx, const std::string& cand, bool rev,
+                        int hp_tag) {
+    auto& e = alleles[idx][cand];
+    e.total += 1;
+    if (hp_tag == 0 || hp_tag == 1) { if (rev) e.r1 += 1; else e.f1 += 1; }
+    if (hp_tag == 0 || hp_tag == 2) { if (rev) e.r2 += 1; else e.f2 += 1; }
+  };
+
+  for (const auto& read : reads) {
+    if (read.mapq <= 0) continue;
+    const bool rev = (read.flag & pep::FLAG_REVERSE) != 0;
+    const int hp = read.hp;
+    const bool b1 = (hp == 0 || hp == 1), b2 = (hp == 0 || hp == 2);
+    int64_t read_index = 0;
+    int64_t ref_position = read.pos;
+    const auto& cig = read.cigar;
+    for (size_t ci = 0; ci < cig.size(); ci++) {
+      auto [op, length] = cig[ci];
+      if (ref_position > region_end) break;
+      if (op == pep::OP_M || op == pep::OP_EQ || op == pep::OP_X) {
+        for (int64_t k = 0; k < length; k++) {
+          if (ref_position >= region_start && ref_position <= region_end) {
+            int64_t idx = ref_position - region_start;
+            char base = read.seq[read_index];
+            char rbase = ref_seq[idx];
+            double bq = read.qual[read_index];
+            if (bq >= min_snp_baseq) {
+              coverage[idx] += 1;
+              if (b1) matrix[(size_t)idx * feature_size + (rev ? 15 : 4)] -= 1;
+              if (b2) matrix[(size_t)idx * feature_size + (rev ? 37 : 26)] -= 1;
+              if (rbase != base) {
+                snp_count[idx] += 1;
+                add_allele(idx, std::string("1") + base, rev, hp);
+              } else {
+                if (b1) {
+                  int fi = feature_index_hp(rbase, base, rev, 1);
+                  if (fi >= 0) matrix[(size_t)idx * feature_size + fi] -= 1;
+                }
+                if (b2) {
+                  int fi = feature_index_hp(rbase, base, rev, 2);
+                  if (fi >= 0) matrix[(size_t)idx * feature_size + fi] -= 1;
+                }
+              }
+            }
+          }
+          read_index += 1;
+          ref_position += 1;
+        }
+      } else if (op == pep::OP_I) {
+        int64_t anchor = ref_position - 1;
+        if (anchor >= region_start && anchor <= region_end &&
+            read_index - 1 >= 0) {
+          int64_t aidx = anchor - region_start;
+          std::string alt(read.seq.data() + read_index - 1, length + 1);
+          double qsum = 0;
+          for (int64_t k = 0; k < length; k++)
+            qsum += read.qual[read_index + k];
+          if (qsum < min_indel_baseq * length &&
+              read.qual[read_index - 1] >= min_snp_baseq)
+            coverage[aidx] -= 1;
+          std::string cand = "2" + alt;
+          if ((int64_t)cand.size() <= 61 && qsum >= min_indel_baseq * length) {
+            if (b1) {
+              int fi = feature_index_hp(ref_seq[aidx], 'I', rev, 1);
+              if (fi >= 0) matrix[(size_t)aidx * feature_size + fi] += 1;
+            }
+            if (b2) {
+              int fi = feature_index_hp(ref_seq[aidx], 'I', rev, 2);
+              if (fi >= 0) matrix[(size_t)aidx * feature_size + fi] += 1;
+            }
+            insert_count[aidx] += 1;
+            add_allele(aidx, cand, rev, hp);
+          }
+        }
+        read_index += length;
+      } else if (op == pep::OP_D) {
+        int64_t anchor = ref_position - 1;
+        if (anchor >= region_start && anchor <= region_end) {
+          int64_t aidx = anchor - region_start;
+          if (b1) {
+            int fi = feature_index_hp(ref_seq[aidx], 'D', rev, 1);
+            if (fi >= 0) matrix[(size_t)aidx * feature_size + fi] += 1;
+          }
+          if (b2) {
+            int fi = feature_index_hp(ref_seq[aidx], 'D', rev, 2);
+            if (fi >= 0) matrix[(size_t)aidx * feature_size + fi] += 1;
+          }
+          int64_t take = std::min<int64_t>(length + 1, L - aidx);
+          std::string cand = "3" + ref_seq.substr(aidx, take);
+          if ((int64_t)cand.size() <= 61) {
+            delete_count[aidx] += 1;
+            add_allele(aidx, cand, rev, hp);
+          }
+        }
+        int64_t lo = std::max(ref_position, region_start);
+        int64_t hi = std::min(ref_position + length - 1, region_end);
+        for (int64_t p = lo; p <= hi; p++) {
+          int64_t idx = p - region_start;
+          if (b1) {
+            int fi = feature_index_hp(ref_seq[idx], '*', rev, 1);
+            if (fi >= 0) matrix[(size_t)idx * feature_size + fi] += 1;
+          }
+          if (b2) {
+            int fi = feature_index_hp(ref_seq[idx], '*', rev, 2);
+            if (fi >= 0) matrix[(size_t)idx * feature_size + fi] += 1;
+          }
+        }
+        ref_position += length;
+      } else if (op == pep::OP_N || op == pep::OP_P) {
+        ref_position += length;
+        read_index += length;
+      } else if (op == pep::OP_S) {
+        read_index += length;
+      }
+    }
+  }
+
+  // thresholds + clamp ALL columns
+  std::vector<int64_t> filtered;
+  std::vector<uint8_t> snp_pass(L, 0), ins_pass(L, 0), del_pass(L, 0);
+  for (int64_t i = 0; i < L; i++) {
+    double cov = std::max(1.0, (double)coverage[i]);
+    bool sp = snp_count[i] / cov >= snp_freq;
+    bool ip = insert_count[i] / cov >= ins_freq;
+    bool dp = delete_count[i] / cov >= del_freq;
+    if (sp || ip || dp) {
+      int64_t pos = region_start + i;
+      if (pos >= cand_region_start && pos <= cand_region_end &&
+          coverage[i] >= min_cov) {
+        filtered.push_back(i);
+        if (sp) snp_pass[i] = 1;
+        if (ip) ins_pass[i] = 1;
+        if (dp) del_pass[i] = 1;
+      }
+    }
+    for (int j = 0; j < feature_size; j++) {
+      int32_t& v = matrix[(size_t)i * feature_size + j];
+      v = std::min(std::max(v, (int32_t)MINV), (int32_t)MAXV);
+    }
+  }
+
+  // train labels (same shape as the base encoder)
+  std::vector<TruthRec> truth[2];
+  std::vector<uint8_t> labels_hp[2];
+  std::vector<int32_t> types_hp[2];
+  std::vector<std::vector<int32_t>> truth_at[2];
+  std::vector<int32_t> labels, labels_type;
+  if (train_mode) {
+    auto load = [&](int n, const int64_t* tp, const int64_t* te,
+                    const int32_t* ro, const char* rb, const int32_t* ao,
+                    const char* ab, int h) {
+      for (int i = 0; i < n; i++)
+        truth[h].push_back(TruthRec{
+            tp[i], te[i],
+            std::string(rb + ro[i], ro[i + 1] - ro[i]),
+            std::string(ab + ao[i], ao[i + 1] - ao[i])});
+    };
+    load(n_t1, t1_pos, t1_end, t1_ref_off, t1_ref_buf, t1_alt_off, t1_alt_buf, 0);
+    load(n_t2, t2_pos, t2_end, t2_ref_off, t2_ref_buf, t2_alt_off, t2_alt_buf, 1);
+    for (int h = 0; h < 2; h++) {
+      labels_hp[h].assign(L + 1, '*');
+      types_hp[h].assign(L + 1, 0);
+      truth_at[h].assign(L + 1, {});
+      for (int64_t i = 0; i < L; i++) labels_hp[h][i] = 'R';
+      for (size_t r = 0; r < truth[h].size(); r++) {
+        const TruthRec& rec = truth[h][r];
+        int64_t idx = rec.pos_start - region_start;
+        if (rec.ref.size() > rec.alt.size()) {
+          if (idx >= 0 && idx < L) {
+            types_hp[h][idx] = 3;
+            labels_hp[h][idx] = '#';
+            truth_at[h][idx].push_back((int32_t)r);
+          }
+        } else if (rec.ref.size() < rec.alt.size()) {
+          if (idx >= 0 && idx < L) {
+            types_hp[h][idx] = 2;
+            labels_hp[h][idx] = '*';
+            truth_at[h][idx].push_back((int32_t)r);
+          }
+        } else {
+          if (idx >= 0 && idx < L) {
+            types_hp[h][idx] = 1;
+            truth_at[h][idx].push_back((int32_t)r);
+          }
+          for (int64_t pos = rec.pos_start; pos < rec.pos_end; pos++) {
+            if (pos >= region_start && pos <= region_end) {
+              int64_t i = pos - region_start;
+              char alt_base = rec.alt[pos - rec.pos_start];
+              labels_hp[h][i] = (ref_seq[i] == alt_base) ? 'R' : alt_base;
+            }
+          }
+        }
+      }
+    }
+    labels.assign(L + 1, 0);
+    labels_type.assign(L + 1, 0);
+    for (int64_t i = 0; i <= L; i++) {
+      labels[i] = get_label_index((char)labels_hp[0][i], (char)labels_hp[1][i]);
+      labels_type[i] = type_label_index(types_hp[0][i], types_hp[1][i]);
+    }
+  }
+
+  // candidate windows (21x48; per-HP supports at the midpoint, no sign flips)
+  Out out;
+  out.cand_offsets.push_back(0);
+  std::vector<int32_t> image((size_t)win1 * feature_size);
+  for (int64_t idx : filtered) {
+    int64_t pos = region_start + idx;
+    int depth = std::min(coverage[idx], (int32_t)MAXV);
+    for (const auto& [cand, ac] : alleles[idx]) {
+      char ctype = cand[0];
+      double freq = ac.total / std::max(1.0, (double)depth);
+      if (ac.total < cand_support) continue;
+      if (ctype != '1' && freq < indel_cand_freq) continue;
+      if (ctype == '1' && freq < snp_cand_freq) continue;
+      if (ctype != '1' && skip_indels) continue;
+      if ((ctype == '1' && !snp_pass[idx]) ||
+          (ctype == '2' && !ins_pass[idx]) ||
+          (ctype == '3' && !del_pass[idx]))
+        continue;
+
+      int base_label = 0, type_label = 0;
+      if (train_mode) {
+        bool found[2] = {false, false};
+        for (int h = 0; h < 2; h++)
+          for (int32_t r : truth_at[h][idx])
+            if (truth_candidate_string(truth[h][r]) == cand) found[h] = true;
+        type_label = (found[0] && found[1]) ? 2
+                     : ((found[0] || found[1]) ? 1 : 0);
+        base_label = labels[idx];
+      }
+
+      std::fill(image.begin(), image.end(), 0);
+      int64_t lo = idx - half;
+      int64_t src_lo = std::max<int64_t>(lo, 0);
+      int64_t src_hi = std::min<int64_t>(idx + half, L) + 1;
+      if (src_hi > src_lo)
+        memcpy(image.data() + (src_lo - lo) * feature_size,
+               matrix.data() + (size_t)src_lo * feature_size,
+               (size_t)(src_hi - src_lo) * feature_size * 4);
+
+      int mid = half;
+      auto M = [&](int r, int c) -> int32_t& {
+        return image[(size_t)r * feature_size + c];
+      };
+      int c1 = std::min(ac.f1, MAXV), c2 = std::min(ac.f2, MAXV);
+      int c3 = std::min(ac.r1, MAXV), c4 = std::min(ac.r2, MAXV);
+      if (ctype == '1') {
+        M(mid, 1) = ref_value(cand[1]);
+        M(mid, 5) = c1;  M(mid, 27) = c2;
+        M(mid, 16) = c3; M(mid, 38) = c4;
+      } else if (ctype == '2') {
+        M(mid, 2) = std::min((int)cand.size() - 1, MAXV);
+        M(mid, 6) = c1;  M(mid, 28) = c2;
+        M(mid, 17) = c3; M(mid, 39) = c4;
+      } else {
+        M(mid, 3) = std::min((int)cand.size() - 1, MAXV);
+        M(mid, 7) = c1;  M(mid, 29) = c2;
+        M(mid, 18) = c3; M(mid, 40) = c4;
+      }
+
+      out.positions.push_back(pos);
+      out.depths.push_back(depth);
+      out.type_labels.push_back(type_label);
+      out.base_labels.push_back(base_label);
+      out.cand_freqs.push_back(std::min(ac.total, MAXV));
+      out.cand_buf.insert(out.cand_buf.end(), cand.begin(), cand.end());
+      out.cand_offsets.push_back((int32_t)out.cand_buf.size());
+      out.images.insert(out.images.end(), image.begin(), image.end());
+    }
+  }
+
+  auto* r = (EncodeResult*)calloc(1, sizeof(EncodeResult));
+  r->n = (int32_t)out.positions.size();
+  r->window1 = win1;
+  r->features = feature_size;
+  auto cp64 = [](const std::vector<int64_t>& v) {
+    auto* p = (int64_t*)malloc(v.size() * 8 + 1);
+    memcpy(p, v.data(), v.size() * 8);
+    return p;
+  };
+  auto cp32 = [](const std::vector<int32_t>& v) {
+    auto* p = (int32_t*)malloc(v.size() * 4 + 1);
+    memcpy(p, v.data(), v.size() * 4);
+    return p;
+  };
+  r->positions = cp64(out.positions);
+  r->depths = cp32(out.depths);
+  r->type_labels = cp32(out.type_labels);
+  r->base_labels = cp32(out.base_labels);
+  r->cand_freqs = cp32(out.cand_freqs);
+  r->cand_offsets = cp32(out.cand_offsets);
+  r->images = cp32(out.images);
+  r->cand_buf = (char*)malloc(out.cand_buf.size() + 1);
+  memcpy(r->cand_buf, out.cand_buf.data(), out.cand_buf.size());
+  r->cand_buf_len = (int64_t)out.cand_buf.size();
+  return r;
+}

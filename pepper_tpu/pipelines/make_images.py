@@ -146,8 +146,7 @@ def create_region_summary(config: PipelineConfig, bam: BamReader,
     """One region's candidate images (AlignmentSummarizer.create_summary)."""
     safe = ConsensCandidateFinder.REGION_SAFE_BASES
 
-    use_native = (not os.environ.get("PEPPER_TPU_NO_NATIVE")
-                  and not config.use_hp_info)
+    use_native = not os.environ.get("PEPPER_TPU_NO_NATIVE")
     if use_native:
         from pepper_tpu.native import encoder as native_encoder
         use_native = native_encoder.available()
@@ -179,6 +178,11 @@ def create_region_summary(config: PipelineConfig, bam: BamReader,
             skip_indels=config.skip_indels)
 
         if use_native:
+            from pepper_tpu.options import ImageOptions, ImageOptionsHP
+            geometry = (dict(hp_mode=True,
+                             window_size=ImageOptionsHP.CANDIDATE_WINDOW_SIZE,
+                             feature_size=ImageOptionsHP.IMAGE_HEIGHT)
+                        if config.use_hp_info else {})
             ref_id = bam._ref_ids[chromosome]
             chunks = bam._index.chunks_for(ref_id, region_start, fetch_stop)
             return native_encoder.encode_region_native(
@@ -189,7 +193,8 @@ def create_region_summary(config: PipelineConfig, bam: BamReader,
                 candidate_region_start=region_start_position,
                 candidate_region_end=region_end_position,
                 train_mode=train, hap1=hap1, hap2=hap2,
-                downsample_rate=config.downsample_rate, **thresholds)
+                downsample_rate=config.downsample_rate, **geometry,
+                **thresholds)
 
         reads = bam.get_reads(chromosome, region_start, fetch_stop,
                               config.include_supplementary,

@@ -116,3 +116,52 @@ def test_skip_indels_parity(data):
     py, nat = run_both(data, 5000, 25000, skip_indels=True)
     assert_equal(py, nat)
     assert all(c.candidates[0].startswith("1") for c in nat)
+
+
+def test_hp_native_matches_python_oracle(data):
+    """Native HP encoder vs the Python HP oracle: bit-exact."""
+    from pepper_tpu.encode.region_encoder_hp import RegionalSummaryHP
+    from pepper_tpu.options import ImageOptionsHP
+    # regenerate reads WITH hp tags
+    import tempfile
+    tmp = tempfile.mkdtemp()
+    genome = random_genome(20000, seed=61)
+    variants = plant_variants(dict(genome), 8, 4, 4, seed=62)
+    records = simulate_reads(genome, variants, coverage=30, seed=63,
+                             error_rate=0.05, hp_tags=True)
+    fasta, bam_path = write_dataset(tmp, genome, records)
+    truth = write_truth_vcf(tmp + "/truth.vcf", genome, variants)
+    kw = dict(KW)
+    region_start, region_end = 0, 19999
+    with BamReader(bam_path) as bam, FastaReader(fasta) as fa:
+        ref_seq = fa.get_reference_sequence("contig1", region_start,
+                                            region_end + 1)
+        for train in (False, True):
+            fetch_stop = region_end + 1 if train else region_end
+            reads = bam.get_reads("contig1", region_start, fetch_stop,
+                                  False, 5, 1, backend="python")
+            rs = RegionalSummaryHP("contig1", region_start, region_end,
+                                   ref_seq)
+            hap1, hap2 = [], []
+            if train:
+                h1, h2 = get_truth_records(truth, "contig1", region_start,
+                                           region_end)
+                hap1 = [TruthRecord(*t) for t in h1]
+                hap2 = [TruthRecord(*t) for t in h2]
+                rs.generate_labels(hap1, hap2)
+            py = rs.generate_summary(
+                reads, candidate_region_start=region_start + 100,
+                candidate_region_end=region_end - 100, train_mode=train, **kw)
+            ref_id = bam._ref_ids["contig1"]
+            chunks = bam._index.chunks_for(ref_id, region_start, fetch_stop)
+            nat = encoder.encode_region_native(
+                bam_path, chunks, ref_id, "contig1", region_start,
+                fetch_stop, region_start, region_end, ref_seq,
+                include_supplementary=False, min_mapq=5,
+                candidate_region_start=region_start + 100,
+                candidate_region_end=region_end - 100, train_mode=train,
+                hap1=hap1, hap2=hap2, hp_mode=True,
+                window_size=ImageOptionsHP.CANDIDATE_WINDOW_SIZE,
+                feature_size=ImageOptionsHP.IMAGE_HEIGHT, **kw)
+            assert len(py) > 5
+            assert_equal(py, nat)
