@@ -73,6 +73,42 @@ def _lstm_scan(x_proj, w_hh, b_hh, h0, c0, reverse: bool):
     return jnp.swapaxes(hs, 0, 1)
 
 
+def _lstm_scan_state(x_proj, w_hh, b_hh, h0, c0, reverse: bool):
+    """Like _lstm_scan but also returns the final (h, c)."""
+    w_hh_t = w_hh.T
+
+    def step(carry, xp):
+        h, c = carry
+        gates = xp + h @ w_hh_t + b_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    xs = jnp.swapaxes(x_proj, 0, 1)
+    (h_last, c_last), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1), h_last, c_last
+
+
+def lstm_with_state(p: Params, x: jnp.ndarray, h0: jnp.ndarray,
+                    c0: jnp.ndarray):
+    """Bidirectional LSTM with explicit initial state.
+
+    x: [B,T,F]; h0/c0: [B, 2, H] (dir-major). Returns
+    (out [B,T,2H], h_final [B,2,H], c_final [B,2,H])."""
+    xf = x @ p["weight_ih_l0"].T + p["bias_ih_l0"]
+    out_f, hf, cf = _lstm_scan_state(xf, p["weight_hh_l0"], p["bias_hh_l0"],
+                                     h0[:, 0], c0[:, 0], False)
+    xb = x @ p["weight_ih_l0_reverse"].T + p["bias_ih_l0_reverse"]
+    out_b, hb, cb = _lstm_scan_state(xb, p["weight_hh_l0_reverse"],
+                                     p["bias_hh_l0_reverse"], h0[:, 1],
+                                     c0[:, 1], True)
+    out = jnp.concatenate([out_f, out_b], axis=-1)
+    return (out, jnp.stack([hf, hb], axis=1), jnp.stack([cf, cb], axis=1))
+
+
 def lstm(p: Params, x: jnp.ndarray, bidirectional: bool = True) -> jnp.ndarray:
     """Bidirectional LSTM, zero initial state (torch default when h0 absent).
 

@@ -197,3 +197,46 @@ def test_transformer_model_matches_torch():
     params = from_torch_state_dict(m.state_dict())
     got = transformer_forward(params, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=3e-5)
+
+
+class TorchNoCnnModel(nn.Module):
+    """Reference-architecture twin of the no-CNN alternate classifier."""
+
+    def __init__(self, F=26, window=33, n_classes=3, H=128):
+        super().__init__()
+        self.encoder = nn.LSTM(F, H, num_layers=1, bidirectional=True,
+                               batch_first=True)
+        self.decoder = nn.LSTM(F, H, num_layers=1, bidirectional=True,
+                               batch_first=True)
+        self.relu = nn.ReLU()
+        self.linear_1 = nn.Linear(2 * H * window, 256)
+        self.linear_2 = nn.Linear(256, 128)
+        self.linear_3 = nn.Linear(128, 64)
+        self.linear_4 = nn.Linear(64, 32)
+        self.linear_5 = nn.Linear(32, 16)
+        self.output_layer = nn.Linear(16, n_classes)
+
+    def forward(self, x, hidden, cell_state):
+        hidden = hidden.transpose(0, 1).contiguous()
+        cell_state = cell_state.transpose(0, 1).contiguous()
+        _, (hidden, cell_state) = self.encoder(x, (hidden, cell_state))
+        out, _ = self.decoder(x, (hidden, cell_state))
+        out = torch.flatten(out, 1, 2)
+        for lin in (self.linear_1, self.linear_2, self.linear_3,
+                    self.linear_4, self.linear_5):
+            out = self.relu(lin(out))
+        return torch.softmax(self.output_layer(out), dim=1)
+
+
+def test_no_cnn_model_matches_torch():
+    from pepper_tpu.models.variant_no_cnn import init_state, no_cnn_forward
+    m = TorchNoCnnModel().eval()
+    x = torch.randn(3, 33, 26)
+    h = torch.randn(3, 2, 128)
+    c = torch.randn(3, 2, 128)
+    with torch.no_grad():
+        want = m(x, h, c)
+    params = from_torch_state_dict(m.state_dict())
+    got = no_cnn_forward(params, jnp.asarray(x.numpy()),
+                         jnp.asarray(h.numpy()), jnp.asarray(c.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
