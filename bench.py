@@ -81,7 +81,8 @@ def encode_all(fasta_path, bam_path):
             return create_region_summary(config, bam, fa, contig, start, end)
 
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(4) as pool:
+    n_threads = min(16, max(4, (os.cpu_count() or 2) * 2))
+    with ThreadPoolExecutor(n_threads) as pool:
         results = list(pool.map(one, range(0, length, 100_000)))
     images = [c.image for r in results if r for c in r]
     return (np.stack(images).astype(np.int8) if images

@@ -121,14 +121,18 @@ def _model_predictions(config: PipelineConfig, images: np.ndarray) -> np.ndarray
                                           replicate, shard_batch)
 
     params = _load_model_params(config.model_path)
-    mesh = data_mesh()
-    n_dev = len(mesh.devices.reshape(-1))
+    n_dev = jax.local_device_count()
     batch = pad_to_multiple(max(config.batch_size, 2048), n_dev)
     use_bf16 = (os.environ.get("PEPPER_TPU_PRECISION", "bf16") != "f32"
                 and jax.devices()[0].platform != "cpu")
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
-    params = replicate(mesh, jax.tree_util.tree_map(
-        lambda a: jnp.asarray(a, dtype), params))
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+    if n_dev > 1:
+        mesh = data_mesh()
+        params = replicate(mesh, params)
+        place = lambda x: shard_batch(mesh, jnp.asarray(x))  # noqa: E731
+    else:
+        place = jnp.asarray
 
     @jax.jit
     def fwd(p, x):
@@ -146,7 +150,7 @@ def _model_predictions(config: PipelineConfig, images: np.ndarray) -> np.ndarray
         if hi - lo < batch:  # pad the tail so one compilation serves all
             x = np.concatenate(
                 [x, np.zeros((batch - (hi - lo),) + x.shape[1:], np.int8)])
-        device_batches.append((lo, hi, shard_batch(mesh, jnp.asarray(x))))
+        device_batches.append((lo, hi, place(x)))
     results = [(lo, hi, fwd(params, x)) for lo, hi, x in device_batches]
     for lo, hi, probs in results:
         out[lo:hi] = np.asarray(probs)[: hi - lo]
