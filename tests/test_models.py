@@ -240,3 +240,156 @@ def test_no_cnn_model_matches_torch():
     got = no_cnn_forward(params, jnp.asarray(x.numpy()),
                          jnp.asarray(h.numpy()), jnp.asarray(c.numpy()))
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+
+class _TorchBasicConv2d(nn.Module):
+    def __init__(self, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(1, 1, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(1, eps=0.001)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(x)))
+
+
+class _TorchBasicBlock(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(1, 1, 3, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(1)
+        self.conv2 = nn.Conv2d(1, 1, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(1)
+
+    def forward(self, x):
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return torch.relu(out + x)  # identity skip (reference downsample quirk)
+
+
+class _TorchMiniResnet(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.Context_Conv2d_0a = _TorchBasicConv2d(kernel_size=(1, 4),
+                                                   stride=(1, 4))
+        self.Context_Conv2d_1a = _TorchBasicConv2d(kernel_size=(1, 1),
+                                                   stride=(1, 1))
+        self.layer1 = nn.Sequential(_TorchBasicBlock())
+
+    def forward(self, x):
+        return self.layer1(self.Context_Conv2d_1a(self.Context_Conv2d_0a(x)))
+
+
+class _TorchEncoderCNN(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.cnn = _TorchMiniResnet()
+
+    def forward(self, x):
+        return self.cnn(x)
+
+
+class TorchSeq2SeqEncoder(nn.Module):
+    """Reference-architecture twin of the legacy EncoderCRNN."""
+
+    def __init__(self, H=16, L=2):
+        super().__init__()
+        self.cnn_encoder = _TorchEncoderCNN()
+        self.gru = nn.GRU(5, H, num_layers=L, bidirectional=True,
+                          batch_first=True)
+
+    def forward(self, x, hidden):
+        hidden = hidden.transpose(0, 1).contiguous()
+        f = self.cnn_encoder(x)
+        B, T = f.size(0), f.size(2)
+        out, h = self.gru(f.view(B, T, -1), hidden)
+        out = out.view(B, T, 2, -1).sum(2)
+        return out, h.transpose(0, 1).contiguous()
+
+
+class TorchSeq2SeqDecoder(nn.Module):
+    """Reference-architecture twin of the legacy AttnDecoderRNN."""
+
+    def __init__(self, H=16, L=2, C=5, seq_len=12):
+        super().__init__()
+        self.embedding = nn.Embedding(C, H)  # unused by forward (quirk)
+        self.attention = nn.Module()
+        self.attention.linear_out = nn.Linear(2 * H, H)
+        self.gru = nn.GRU(seq_len, H, num_layers=L, bidirectional=True,
+                          batch_first=True)
+        self.out = nn.Linear(H, C)
+
+    def forward(self, onehot, context, hidden):
+        hidden = hidden.transpose(0, 1).contiguous()
+        B = onehot.size(0)
+        out, h = self.gru(onehot.view(B, 1, -1), hidden)
+        out = out.view(B, 1, 2, -1).sum(2)
+        T = context.size(1)
+        attn = torch.bmm(out, context.transpose(1, 2))
+        attn = torch.softmax(attn.view(-1, T), dim=1).view(B, -1, T)
+        mix = torch.bmm(attn, context)
+        combined = torch.cat((mix, out), dim=2)
+        H = out.size(2)
+        out = torch.tanh(self.attention.linear_out(
+            combined.view(-1, 2 * H))).view(B, -1, H)
+        return self.out(out.contiguous().view(-1, H)), \
+            h.transpose(0, 1).contiguous(), attn
+
+
+def test_seq2seq_encoder_matches_torch():
+    from pepper_tpu.models.polish_seq2seq import encoder_forward
+    m = TorchSeq2SeqEncoder(H=16, L=2).eval()
+    x = torch.randn(3, 1, 12, 20)
+    h0 = torch.randn(3, 4, 16)
+    with torch.no_grad():
+        want_out, want_h = m(x, h0)
+    params = from_torch_state_dict(m.state_dict())
+    got_out, got_h = encoder_forward(params, jnp.asarray(x.numpy()),
+                                     jnp.asarray(h0.numpy()), gru_layers=2)
+    np.testing.assert_allclose(np.asarray(got_out), want_out.numpy(),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_h), want_h.numpy(), atol=2e-5)
+
+
+def test_seq2seq_decoder_matches_torch():
+    from pepper_tpu.models.polish_seq2seq import decoder_forward
+    m = TorchSeq2SeqDecoder(H=16, L=2, C=5, seq_len=12).eval()
+    onehot = torch.zeros(3, 12)
+    onehot[:, 4] = 1.0
+    context = torch.randn(3, 12, 16)
+    h0 = torch.randn(3, 4, 16)
+    with torch.no_grad():
+        want_logits, want_h, want_attn = m(onehot, context, h0)
+    params = from_torch_state_dict(m.state_dict())
+    got_logits, got_h, got_attn = decoder_forward(
+        params, jnp.asarray(onehot.numpy()), jnp.asarray(context.numpy()),
+        jnp.asarray(h0.numpy()), gru_layers=2)
+    np.testing.assert_allclose(np.asarray(got_logits), want_logits.numpy(),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_h), want_h.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_attn), want_attn.numpy(),
+                               atol=2e-5)
+
+
+def test_seq2seq_init_matches_torch_keyset():
+    """Freshly-initialized param trees carry exactly the torch key set, so
+    native checkpoints and imported reference checkpoints are isomorphic."""
+    from pepper_tpu.models.polish_seq2seq import (init_decoder_params,
+                                                  init_encoder_params)
+    enc = init_encoder_params(jax.random.PRNGKey(0), gru_layers=2,
+                              hidden_size=16)
+    dec = init_decoder_params(jax.random.PRNGKey(1), hidden_size=16,
+                              gru_layers=2, num_classes=5, seq_len=12)
+
+    def flatten(tree, prefix=""):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                yield from flatten(v, prefix + k + ".")
+            else:
+                yield prefix + k
+
+    want_enc = {k for k in TorchSeq2SeqEncoder(H=16, L=2).state_dict()
+                if "num_batches_tracked" not in k}
+    want_dec = {k for k in TorchSeq2SeqDecoder(H=16, L=2, C=5,
+                                               seq_len=12).state_dict()}
+    assert set(flatten(enc)) == want_enc
+    assert set(flatten(dec)) == want_dec
