@@ -7,6 +7,7 @@ source is newer). Falls back silently if no toolchain — callers check
 import ctypes
 import os
 import subprocess
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -20,6 +21,7 @@ _LIB = os.path.join(_DIR, "lib", "libbamio.so")
 
 _lib = None
 _build_error: Optional[str] = None
+_load_lock = threading.Lock()
 
 
 class _ReadSet(ctypes.Structure):
@@ -65,6 +67,16 @@ def _build() -> Optional[str]:
 
 
 def _load():
+    # a single assignment of the fully-bound CDLL: concurrent first calls
+    # must not race to create two CDLL objects (only one would get argtypes)
+    global _lib, _build_error
+    if _lib is not None or _build_error is not None:
+        return
+    with _load_lock:
+        _load_locked()
+
+
+def _load_locked():
     global _lib, _build_error
     if _lib is not None or _build_error is not None:
         return

@@ -56,3 +56,31 @@ def test_native_is_default_backend(bam, monkeypatch):
     with BamReader(bam) as reader:
         forced = reader.get_reads("contig1", 0, 5000)
     assert len(forced) == len(py)
+
+
+def test_concurrent_first_load_single_cdll():
+    """Regression: concurrent first _load() calls must produce ONE bound CDLL.
+
+    Two racing CDLL() constructions would leave one object without argtypes;
+    a later encode through it fails ctypes float conversion (bench.py's
+    threaded encode hit this)."""
+    import subprocess
+    import sys
+    code = r"""
+import threading
+from pepper_tpu.native import bamio
+libs = [None] * 16
+def grab(i):
+    bamio._load()
+    libs[i] = bamio._lib
+threads = [threading.Thread(target=grab, args=(i,)) for i in range(16)]
+[t.start() for t in threads]
+[t.join() for t in threads]
+assert all(l is libs[0] and l is not None for l in libs), "racing CDLLs"
+assert bamio._lib.bam_fetch_region.argtypes is not None
+print("OK")
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
