@@ -46,6 +46,7 @@ def run_hyperband(train_image_dir: str, test_image_dir: str, output_dir: str,
     s_max = int(math.log(max_epochs) / math.log(eta))
     B = (s_max + 1) * max_epochs
     best = {"accuracy": -1.0}
+    all_results: List[Dict] = []
     run_no = 0
     for s in range(s_max, -1, -1):
         n = int(math.ceil(B / max_epochs / (s + 1) * eta ** s))
@@ -61,6 +62,9 @@ def run_hyperband(train_image_dir: str, test_image_dir: str, output_dir: str,
                 run_no += 1
                 accuracy, path = train_fn(config, max(1, r_i), run_dir)
                 results.append((accuracy, config, path))
+                all_results.append({"accuracy": accuracy,
+                                    "iterations": max(1, r_i),
+                                    "params": config, "model_path": path})
                 if accuracy > best["accuracy"]:
                     best = {"accuracy": accuracy, "model_path": path,
                             **config}
@@ -69,6 +73,12 @@ def run_hyperband(train_image_dir: str, test_image_dir: str, output_dir: str,
             configs = [config for _, config, _ in results[:keep]]
             _log(f"  rung {i}: budget {r_i} epochs, "
                  f"best accuracy {results[0][0]:.3f}, keeping {keep}")
+    # persist every run for the hyperband_result inspection helper (the
+    # reference pickles its result list; we write JSON)
+    import json
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "hyperband_results.json"), "w") as fh:
+        json.dump(all_results, fh, indent=1)
     _log(f"HYPERBAND COMPLETE: best accuracy {best['accuracy']:.3f} "
          f"lr {best.get('lr'):.2e} wd {best.get('weight_decay'):.2e}")
     return best

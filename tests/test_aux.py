@@ -130,3 +130,59 @@ def test_contig_range_region_syntax(tmp_path):
     assert out == [("chr20", (100, 200)), ("chr21", None)]
     out = get_chromosome_list("contig1", "unused", "unused")
     assert out == [("contig1", None)]
+
+
+def test_hyperband_persists_results_json(tmp_path):
+    def fake_train(config, epochs, run_dir):
+        return 50.0 + np.log10(config["lr"]), run_dir
+
+    run_hyperband("x", "y", str(tmp_path), max_epochs=3, eta=3, seed=2,
+                  train_fn=fake_train)
+    results_file = tmp_path / "hyperband_results.json"
+    assert results_file.is_file()
+    results = json.loads(results_file.read_text())
+    assert results and all(
+        {"accuracy", "iterations", "params", "model_path"} <= set(r)
+        for r in results)
+    # the inspection helper consumes the same file
+    from pepper_tpu.utils.hyperband_result import load_results, print_results
+    print_results(load_results(str(results_file)), min_iterations=1)
+
+
+def test_merge_train_image_index(tmp_path):
+    import h5py
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for name, regions in [("a.hdf5", {"r1": 3, "r2": 2}), ("b.hdf5", {"q": 4})]:
+        with h5py.File(img_dir / name, "w") as fh:
+            for region, n in regions.items():
+                fh.create_dataset(f"summaries/{region}/images",
+                                  data=np.zeros((n, 33, 26), np.int8))
+    from pepper_tpu.utils.train_image_index import merge_image_index
+    out = merge_image_index(str(img_dir), str(tmp_path / "out"),
+                            verbose=False)
+    with h5py.File(out, "r") as fh:
+        keys = sorted(fh.keys(), key=int)
+        assert len(keys) == 9
+        src, region, row = fh["0"][()].decode().split(",")
+        assert src.endswith("a.hdf5") and region in ("r1", "r2")
+        assert row == "0"
+
+
+def test_vcf_vaf_split(tmp_path, capsys):
+    vcf = tmp_path / "v.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+        "c1\t10\t.\tA\tT\t60\tPASS\t.\tGT:VAF\t0/1:0.5\n"
+        "c1\t20\t.\tA\tT,G\t60\tPASS\t.\tGT:VAF\t1/1:0.8,0.1\n"
+        "c1\t30\t.\tG\tC\t60\trefCall\t.\tGT:VAF\t0/0:0.05\n")
+    from pepper_tpu.utils.vcf_vaf import collect_vafs, main
+    stats = collect_vafs(str(vcf))
+    # rec1 alt T is genotyped (true), rec2 T true / G false, rec3 filtered out
+    assert sorted(stats["true"]) == [0.5, 0.8]
+    assert stats["false"] == [0.1]
+    assert stats["total_records"] == 3 and stats["total_alts"] == 4
+    assert main(["-v", str(vcf), "--no_plot"]) == 0
+    out = capsys.readouterr().out
+    assert "Total true alleles:\t 2" in out
