@@ -84,8 +84,9 @@ def encode_all(fasta_path, bam_path):
     n_threads = min(16, max(4, (os.cpu_count() or 2) * 2))
     with ThreadPoolExecutor(n_threads) as pool:
         results = list(pool.map(one, range(0, length, 100_000)))
-    images = [c.image for r in results if r for c in r]
-    return (np.stack(images).astype(np.int8) if images
+    from pepper_tpu.pipelines.datastore import stack_images
+    batches = [stack_images(r) for r in results if r]
+    return (np.concatenate(batches).astype(np.int8) if batches
             else np.zeros((0, 33, 26), np.int8))
 
 

@@ -55,15 +55,19 @@ class _ReadSet(ctypes.Structure):
 
 def _build() -> Optional[str]:
     os.makedirs(os.path.dirname(_LIB), exist_ok=True)
-    cmd = (["g++", "-O3", "-std=c++17", "-shared", "-fPIC"] + _SRCS
-           + ["-o", _LIB, "-lz"])
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
-    except (OSError, subprocess.TimeoutExpired) as exc:
-        return f"{type(exc).__name__}: {exc}"
-    if proc.returncode != 0:
-        return proc.stderr[-2000:]
-    return None
+    # the .so is always built on this machine, so -march=native is safe;
+    # retry portably if the compiler rejects it
+    for extra in (["-march=native"], []):
+        cmd = (["g++", "-O3", "-std=c++17", "-shared", "-fPIC"] + extra
+               + _SRCS + ["-o", _LIB, "-lz"])
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=300)
+        except (OSError, subprocess.TimeoutExpired) as exc:
+            return f"{type(exc).__name__}: {exc}"
+        if proc.returncode == 0:
+            return None
+    return proc.stderr[-2000:]
 
 
 def _load():

@@ -27,9 +27,21 @@ struct BGZFCursor {
   size_t block_off = 0;
   int64_t coffset = -1;
   int64_t next_coffset = 0;
+  // reused across blocks: one inflateInit per cursor, one scratch buffer
+  std::vector<uint8_t> scratch;
+  z_stream zs{};
+  bool zs_ready = false;
+
+  ~BGZFCursor() {
+    if (zs_ready) inflateEnd(&zs);
+  }
 
   bool load_block(int64_t coff) {
-    if (fseeko(fh, coff, SEEK_SET) != 0) return false;
+    // the common pattern is sequential blocks; skip the seek when the
+    // stdio position is already there (keeps the read buffer warm)
+    if (coff != next_coffset || coffset < 0) {
+      if (fseeko(fh, coff, SEEK_SET) != 0) return false;
+    }
     uint8_t hdr[18];
     if (fread(hdr, 1, 18, fh) != 18) return false;
     if (hdr[0] != 0x1f || hdr[1] != 0x8b) return false;
@@ -47,25 +59,27 @@ struct BGZFCursor {
       i += 4 + slen;
     }
     if (bsize < 0) return false;
+    // file position is now coff + 12 + xlen: read cdata + footer in one go
     size_t cdata_len = bsize - 12 - xlen - 8;
-    std::vector<uint8_t> cdata(cdata_len);
-    if (fseeko(fh, coff + 12 + xlen, SEEK_SET) != 0) return false;
-    if (fread(cdata.data(), 1, cdata_len, fh) != cdata_len) return false;
-    uint8_t footer[8];
-    if (fread(footer, 1, 8, fh) != 8) return false;
+    scratch.resize(cdata_len + 8);
+    if (fread(scratch.data(), 1, cdata_len + 8, fh) != cdata_len + 8)
+      return false;
+    const uint8_t* footer = scratch.data() + cdata_len;
     uint32_t isize = footer[4] | (footer[5] << 8) | (footer[6] << 16)
                      | ((uint32_t)footer[7] << 24);
     block.resize(isize);
     if (isize > 0) {
-      z_stream zs{};
-      if (inflateInit2(&zs, -15) != Z_OK) return false;
-      zs.next_in = cdata.data();
+      if (!zs_ready) {
+        if (inflateInit2(&zs, -15) != Z_OK) return false;
+        zs_ready = true;
+      } else if (inflateReset(&zs) != Z_OK) {
+        return false;
+      }
+      zs.next_in = scratch.data();
       zs.avail_in = (uInt)cdata_len;
       zs.next_out = block.data();
       zs.avail_out = isize;
-      int rc = inflate(&zs, Z_FINISH);
-      inflateEnd(&zs);
-      if (rc != Z_STREAM_END) return false;
+      if (inflate(&zs, Z_FINISH) != Z_STREAM_END) return false;
     }
     coffset = coff;
     next_coffset = coff + bsize;

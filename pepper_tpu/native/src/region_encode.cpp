@@ -118,18 +118,21 @@ inline int ref_value(char b) {
 }
 
 // region_summary.cpp:201-230 / events.py feature_index
+// base -> column offset within a strand block (A=1..T=4, I=5, D=6, other=7)
+struct BaseOffsetTable {
+  int8_t t[256];
+  constexpr BaseOffsetTable() : t() {
+    for (int i = 0; i < 256; i++) t[i] = 7;
+    t[(unsigned char)'A'] = 1; t[(unsigned char)'C'] = 2;
+    t[(unsigned char)'G'] = 3; t[(unsigned char)'T'] = 4;
+    t[(unsigned char)'I'] = 5; t[(unsigned char)'D'] = 6;
+  }
+};
+constexpr BaseOffsetTable BASE_OFFSET;
+
 inline int feature_index(char ref_base, char base, bool rev) {
   if (!ref_ok(ref_base)) return -1;
-  int start = rev ? REV_START : FWD_START;
-  switch (base) {
-    case 'A': return start + 1;
-    case 'C': return start + 2;
-    case 'G': return start + 3;
-    case 'T': return start + 4;
-    case 'I': return start + 5;
-    case 'D': return start + 6;
-    default: return start + 7;
-  }
+  return (rev ? REV_START : FWD_START) + BASE_OFFSET.t[(unsigned char)base];
 }
 
 struct AlleleCount { int total = 0, fwd = 0, rev = 0; };
@@ -326,21 +329,29 @@ EncodeResult* encode_region(
         int64_t n = length - skip;
         if (n <= 0) continue;
         int64_t n_in = std::min<int64_t>(n, region_end - ref_position + 1);
+        // integer threshold: quals are integers, so bq < t  <=>  bq < ceil(t)
+        const int bq_thr = (int)std::ceil(min_snp_baseq);
+        const char* sp = read.seq.data() + read_index;
+        const uint8_t* qp = read.qual.data() + read_index;
+        const int64_t idx0 = ref_position - region_start;
+        const int8_t* off = BASE_OFFSET.t;
+        const int strand_start = rev ? REV_START : FWD_START;
         for (int64_t k = 0; k < n_in; k++) {
-          int64_t idx = ref_position + k - region_start;
-          char base = read.seq[read_index + k];
-          char rbase = ref_seq[idx];
-          double bq = read.qual[read_index + k];
-          if (bq < min_snp_baseq) continue;
+          if ((int)qp[k] < bq_thr) continue;
+          const int64_t idx = idx0 + k;
+          const char base = sp[k];
+          const char rbase = ref_seq[idx];
+          int32_t* row = matrix.data() + (size_t)idx * feature_size;
           coverage[idx] += 1;
+          // the last in-region base anchors a following IN/DEL: its ref
+          // column is skipped (region_summary.cpp anchor rule)
           bool anchors_indel =
               (k == n_in - 1 && n_in == n && ci != cig.size() - 1 &&
                (cig[ci + 1].first == pep::OP_I ||
                 cig[ci + 1].first == pep::OP_D));
-          if (!anchors_indel)
-            matrix[(size_t)idx * feature_size + ref_col] -= 1;
-          int fi = feature_index(rbase, base, rev);
-          if (fi >= 0) matrix[(size_t)idx * feature_size + fi] -= 1;
+          if (!anchors_indel) row[ref_col] -= 1;
+          if (ref_ok(rbase))
+            row[strand_start + off[(unsigned char)base]] -= 1;
           if (base != rbase) {
             snp_count[idx] += 1;
             add_snp_allele(idx, base, rev);

@@ -25,6 +25,34 @@ def _decode_strs(row) -> List[str]:
     return [s.decode() if isinstance(s, bytes) else str(s) for s in row]
 
 
+def stack_images(candidates: Sequence[CandidateImage]) -> np.ndarray:
+    """np.stack of per-candidate images, with a zero-copy fast path.
+
+    The native encoder hands out views into one contiguous [n, W, F]
+    buffer; stacking tens of thousands of small views through np.stack
+    dominates the host stage. When every image is the i-th consecutive
+    row of the same base array, return a slice of that base instead."""
+    imgs = [c.image for c in candidates]
+    base = imgs[0].base
+    if (base is not None and base.ndim == 3
+            and base.shape[1:] == imgs[0].shape and base.flags.c_contiguous):
+        addr0 = base.__array_interface__["data"][0]
+        row_bytes = base.strides[0]
+        start = (imgs[0].__array_interface__["data"][0] - addr0)
+        if start % row_bytes == 0:
+            start //= row_bytes
+            expect = addr0 + start * row_bytes
+            for im in imgs:
+                if (im.base is not base or im.shape != base.shape[1:]
+                        or im.__array_interface__["data"][0] != expect):
+                    break
+                expect += row_bytes
+            else:
+                if start + len(imgs) <= base.shape[0]:
+                    return base[start:start + len(imgs)]
+    return np.stack(imgs)
+
+
 class ImageStore:
     """Writer/reader for candidate-image summary files (*.h5)."""
 
@@ -58,8 +86,9 @@ class ImageStore:
             dtype=_VLEN_STR)
         g.create_dataset("candidate_frequency", data=np.array(
             [c.candidate_frequency for c in candidates], dtype=np.uint8))
-        g.create_dataset("images", data=np.stack(
-            [c.image for c in candidates]).astype(np.int8))
+        g.create_dataset("images",
+                         data=stack_images(candidates).astype(np.int8,
+                                                              copy=False))
         if train_mode:
             g.create_dataset("base_labels", data=np.array(
                 [c.base_label for c in candidates], dtype=np.uint8))

@@ -165,3 +165,35 @@ def test_hp_native_matches_python_oracle(data):
                 feature_size=ImageOptionsHP.IMAGE_HEIGHT, **kw)
             assert len(py) > 5
             assert_equal(py, nat)
+
+
+def test_stack_images_fast_path_matches_np_stack():
+    """stack_images must be bit-equal to np.stack for contiguous native
+    views, reordered views, and independently-allocated images."""
+    import numpy as np
+    from pepper_tpu.encode.region_encoder import CandidateImage
+    from pepper_tpu.pipelines.datastore import stack_images
+
+    def mk(img):
+        return CandidateImage(contig="c", position=0, depth=1,
+                              candidates=["A"], candidate_frequency=[1],
+                              image=img, base_label=0, type_label=0)
+
+    # .copy() so base owns its data (like the encoder's buffer); a reshape
+    # view would chain .base to the flat arange and correctly fall back
+    base = np.arange(7 * 4 * 5, dtype=np.int32).reshape(7, 4, 5).copy()
+    views = [mk(base[i]) for i in range(1, 6)]      # consecutive rows
+    assert np.array_equal(stack_images(views), base[1:6])
+    assert stack_images(views).base is base          # zero-copy
+
+    shuffled = [views[2], views[0], views[1]]        # non-consecutive
+    assert np.array_equal(stack_images(shuffled),
+                          np.stack([c.image for c in shuffled]))
+
+    own = [mk(np.full((4, 5), i, np.int32)) for i in range(3)]
+    assert np.array_equal(stack_images(own),
+                          np.stack([c.image for c in own]))
+
+    mixed = views[:2] + own[:1]                      # mixed bases
+    assert np.array_equal(stack_images(mixed),
+                          np.stack([c.image for c in mixed]))
