@@ -11,6 +11,7 @@ torch module attributes, so reference checkpoints map 1:1
 (models/checkpoint.py). Inference runs in bfloat16 on the MXU with float32
 softmax; training uses float32 params with bf16 matmuls via jax defaults.
 """
+import os
 from typing import Dict, Optional
 
 import jax
@@ -21,6 +22,15 @@ from pepper_tpu.models.rnn import (init_linear_params, init_rnn_params, linear,
 from pepper_tpu.options import ImageOptions
 
 Params = Dict
+
+
+def _use_fused_rnn(train_mode: bool) -> bool:
+    """The Pallas fused biLSTM (ops/fused_lstm.py) keeps the recurrent
+    carry in VMEM and beats the lax.scan path ~8% at bf16 on TPU. It has
+    no VJP, so training keeps the scan. Opt out: PEPPER_TPU_FUSED_RNN=0."""
+    if train_mode or os.environ.get("PEPPER_TPU_FUSED_RNN", "1") == "0":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def init_variant_params(key, image_features: int = ImageOptions.IMAGE_HEIGHT,
@@ -51,8 +61,13 @@ def variant_forward(params: Params, x: jnp.ndarray, train_mode: bool = False,
                     dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """x: [B, 33, F] float. Returns softmax probs [B,3] (or logits when
     train_mode, matching the reference's train-time contract)."""
-    h = lstm(params["encoder"], x)
-    h = lstm(params["decoder"], h)
+    if _use_fused_rnn(train_mode):
+        from pepper_tpu.ops.fused_lstm import fused_bilstm
+        h = fused_bilstm(params["encoder"], x)
+        h = fused_bilstm(params["decoder"], h)
+    else:
+        h = lstm(params["encoder"], x)
+        h = lstm(params["decoder"], h)
     drop = train_mode and dropout_rng is not None
     if drop:
         keys = jax.random.split(dropout_rng, 5)

@@ -39,15 +39,19 @@ def _bilstm_step_kernel(xp_f_ref, xp_b_ref, whh_f_ref, whh_b_ref,
         c_b[:] = jnp.zeros_like(c_b)
 
     def gate_update(xp, whh_ref, h_ref, c_ref, out_ref):
-        gates = xp + jnp.dot(h_ref[:], whh_ref[:],
-                             preferred_element_type=jnp.float32)
+        # h scratch stays in the input dtype (bf16 in production) so the
+        # recurrent matmul runs the MXU's fast path; the cell state
+        # accumulates in f32 for stability
+        gates = xp.astype(jnp.float32) + jnp.dot(
+            h_ref[:], whh_ref[:], preferred_element_type=jnp.float32)
         i = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
         f = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
         g = jnp.tanh(gates[:, 2 * H:3 * H])
         o = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
         c_ref[:] = f * c_ref[:] + i * g
-        h_ref[:] = o * jnp.tanh(c_ref[:])
-        out_ref[0] = h_ref[:]
+        h = (o * jnp.tanh(c_ref[:])).astype(h_ref.dtype)
+        h_ref[:] = h
+        out_ref[0] = h
 
     gate_update(xp_f_ref[0], whh_f_ref, h_f, c_f, out_f_ref)
     gate_update(xp_b_ref[0], whh_b_ref, h_b, c_b, out_b_ref)
@@ -95,10 +99,13 @@ def fused_bilstm(params: Dict, x: jnp.ndarray,
         grid=grid,
         in_specs=[spec_xp_f, spec_xp_b, spec_w, spec_w],
         out_specs=[spec_out_f, spec_out_b],
-        out_shape=[jax.ShapeDtypeStruct((T, Bp, H), jnp.float32),
-                   jax.ShapeDtypeStruct((T, Bp, H), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((block_b, H), jnp.float32)
-                        for _ in range(4)],
+        out_shape=[jax.ShapeDtypeStruct((T, Bp, H), x.dtype),
+                   jax.ShapeDtypeStruct((T, Bp, H), x.dtype)],
+        # h in the input dtype (fast MXU path), cell state in f32
+        scratch_shapes=[pltpu.VMEM((block_b, H), x.dtype),
+                        pltpu.VMEM((block_b, H), jnp.float32),
+                        pltpu.VMEM((block_b, H), x.dtype),
+                        pltpu.VMEM((block_b, H), jnp.float32)],
     )(xp_f, xp_b, whh_f, whh_b)
     out = jnp.concatenate([jnp.swapaxes(out_f, 0, 1),
                            jnp.swapaxes(out_b, 0, 1)], axis=-1)
