@@ -27,10 +27,12 @@ Params = Dict
 def _use_fused_rnn(train_mode: bool) -> bool:
     """The Pallas fused biLSTM (ops/fused_lstm.py) keeps the recurrent
     carry in VMEM and beats the lax.scan path ~8% at bf16 on TPU. It has
-    no VJP, so training keeps the scan. Opt out: PEPPER_TPU_FUSED_RNN=0."""
+    no VJP, so training keeps the scan, and XLA's SPMD partitioner can't
+    split a pallas_call over a sharded batch, so multi-device inference
+    keeps the scan too. Opt out: PEPPER_TPU_FUSED_RNN=0."""
     if train_mode or os.environ.get("PEPPER_TPU_FUSED_RNN", "1") == "0":
         return False
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def init_variant_params(key, image_features: int = ImageOptions.IMAGE_HEIGHT,
