@@ -81,7 +81,9 @@ def encode_all(fasta_path, bam_path):
             return create_region_summary(config, bam, fa, contig, start, end)
 
     from concurrent.futures import ThreadPoolExecutor
-    n_threads = min(16, max(4, (os.cpu_count() or 2) * 2))
+    # one thread per core: the encode is partly memory-bound, so
+    # oversubscription measurably hurts on small hosts
+    n_threads = max(2, os.cpu_count() or 2)
     with ThreadPoolExecutor(n_threads) as pool:
         results = list(pool.map(one, range(0, length, 100_000)))
     from pepper_tpu.pipelines.datastore import stack_images

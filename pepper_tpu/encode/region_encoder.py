@@ -48,6 +48,79 @@ class CandidateImage:
     type_label: int = 0
 
 
+class CandidateBatch:
+    """Array-backed batch of candidate images.
+
+    The native encoder emits whole-region arrays; materializing tens of
+    thousands of per-candidate CandidateImage objects dominated the host
+    stage. This sequence type keeps the arrays and builds CandidateImage
+    views only on item access, so batch consumers (the HDF5 store, the
+    inference feed) stay zero-copy while per-item consumers see the same
+    objects as before.
+    """
+
+    __slots__ = ("contig", "positions", "depths", "candidates",
+                 "candidate_frequency", "images", "base_labels",
+                 "type_labels")
+
+    def __init__(self, contig: str, positions: np.ndarray,
+                 depths: np.ndarray, candidates: List[str],
+                 candidate_frequency: np.ndarray, images: np.ndarray,
+                 base_labels: np.ndarray, type_labels: np.ndarray):
+        self.contig = contig
+        self.positions = positions
+        self.depths = depths
+        self.candidates = candidates          # one allele string per record
+        self.candidate_frequency = candidate_frequency
+        self.images = images                  # int32 [n, window+1, features]
+        self.base_labels = base_labels
+        self.type_labels = type_labels
+
+    def __len__(self) -> int:
+        return len(self.positions)
+
+    def __bool__(self) -> bool:
+        return len(self) > 0
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            idx = range(*i.indices(len(self)))
+            return [self[j] for j in idx]
+        return CandidateImage(
+            contig=self.contig, position=int(self.positions[i]),
+            depth=int(self.depths[i]), candidates=[self.candidates[i]],
+            candidate_frequency=[int(self.candidate_frequency[i])],
+            image=self.images[i], base_label=int(self.base_labels[i]),
+            type_label=int(self.type_labels[i]))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def select(self, mask: np.ndarray) -> "CandidateBatch":
+        keep = np.flatnonzero(mask)
+        return CandidateBatch(
+            self.contig, self.positions[keep], self.depths[keep],
+            [self.candidates[int(j)] for j in keep],
+            self.candidate_frequency[keep], self.images[keep],
+            self.base_labels[keep], self.type_labels[keep])
+
+    @classmethod
+    def concat(cls, batches: Sequence["CandidateBatch"]) -> "CandidateBatch":
+        b0 = batches[0]
+        cands: List[str] = []
+        for b in batches:
+            cands.extend(b.candidates)
+        return cls(
+            b0.contig,
+            np.concatenate([b.positions for b in batches]),
+            np.concatenate([b.depths for b in batches]), cands,
+            np.concatenate([b.candidate_frequency for b in batches]),
+            np.concatenate([b.images for b in batches]),
+            np.concatenate([b.base_labels for b in batches]),
+            np.concatenate([b.type_labels for b in batches]))
+
+
 _BASE_LABELS = ImageOptions.DECODED_BASE_LABELS
 
 

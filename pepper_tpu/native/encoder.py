@@ -9,7 +9,8 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from pepper_tpu.encode.region_encoder import CandidateImage, TruthRecord
+from pepper_tpu.encode.region_encoder import (CandidateBatch, CandidateImage,
+                                              TruthRecord)
 from pepper_tpu.native import bamio
 from pepper_tpu.options import AlignerOptions, ImageOptions
 
@@ -115,7 +116,7 @@ def encode_region_native(
         random_seed: int = AlignerOptions.RANDOM_SEED,
         window_size: int = ImageOptions.CANDIDATE_WINDOW_SIZE,
         feature_size: int = ImageOptions.IMAGE_HEIGHT,
-        hp_mode: bool = False) -> List[CandidateImage]:
+        hp_mode: bool = False) -> CandidateBatch:
     lib = _lib()
     flat = np.asarray(chunks, dtype=np.uint64).reshape(-1)
     t1 = _flatten_truth(hap1)
@@ -149,29 +150,24 @@ def encode_region_native(
     res = res_ptr.contents
     try:
         n = res.n
-        if n == 0:
-            return []
         win1, feat = res.window1, res.features
-        positions = np.ctypeslib.as_array(res.positions, (n,))
-        depths = np.ctypeslib.as_array(res.depths, (n,))
-        type_labels = np.ctypeslib.as_array(res.type_labels, (n,))
-        base_labels = np.ctypeslib.as_array(res.base_labels, (n,))
-        cand_freqs = np.ctypeslib.as_array(res.cand_freqs, (n,))
+        if n == 0:
+            empty_i = np.zeros(0, np.int64)
+            empty = np.zeros(0, np.int32)
+            return CandidateBatch(contig, empty_i, empty, [], empty,
+                                  np.zeros((0, win1, feat), np.int32),
+                                  empty, empty)
+        positions = np.ctypeslib.as_array(res.positions, (n,)).copy()
+        depths = np.ctypeslib.as_array(res.depths, (n,)).copy()
+        type_labels = np.ctypeslib.as_array(res.type_labels, (n,)).copy()
+        base_labels = np.ctypeslib.as_array(res.base_labels, (n,)).copy()
+        cand_freqs = np.ctypeslib.as_array(res.cand_freqs, (n,)).copy()
         cand_off = np.ctypeslib.as_array(res.cand_offsets, (n + 1,))
         cand_buf = ctypes.string_at(res.cand_buf, res.cand_buf_len)
-        images = np.ctypeslib.as_array(res.images,
-                                       (n, win1, feat)).copy()
-        out = []
-        for i in range(n):
-            lo, hi = int(cand_off[i]), int(cand_off[i + 1])
-            out.append(CandidateImage(
-                contig=contig, position=int(positions[i]),
-                depth=int(depths[i]),
-                candidates=[cand_buf[lo:hi].decode()],
-                candidate_frequency=[int(cand_freqs[i])],
-                image=images[i],
-                base_label=int(base_labels[i]),
-                type_label=int(type_labels[i])))
-        return out
+        images = np.ctypeslib.as_array(res.images, (n, win1, feat)).copy()
+        offs = cand_off.tolist()
+        cands = [cand_buf[offs[i]:offs[i + 1]].decode() for i in range(n)]
+        return CandidateBatch(contig, positions, depths, cands, cand_freqs,
+                              images, base_labels, type_labels)
     finally:
         lib.encode_result_free(res_ptr)

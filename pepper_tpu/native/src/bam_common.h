@@ -9,9 +9,36 @@
 #include <algorithm>
 #include <string>
 #include <vector>
+#include <dlfcn.h>
 #include <zlib.h>
 
 namespace pep {
+
+// Optional libdeflate backend for BGZF block inflate (~2-3x faster than
+// zlib on short blocks). Resolved once via dlopen; zlib is the fallback,
+// so the build has no hard dependency on libdeflate headers or libs.
+struct LibDeflateApi {
+  void* (*alloc_dec)(void) = nullptr;
+  int (*decompress)(void*, const void*, size_t, void*, size_t, size_t*) =
+      nullptr;
+  void (*free_dec)(void*) = nullptr;
+  bool ok = false;
+  LibDeflateApi() {
+    void* h = dlopen("libdeflate.so.0", RTLD_NOW);
+    if (!h) h = dlopen("libdeflate.so", RTLD_NOW);
+    if (!h) return;
+    alloc_dec = (decltype(alloc_dec))dlsym(h, "libdeflate_alloc_decompressor");
+    decompress =
+        (decltype(decompress))dlsym(h, "libdeflate_deflate_decompress");
+    free_dec = (decltype(free_dec))dlsym(h, "libdeflate_free_decompressor");
+    ok = alloc_dec && decompress && free_dec;
+  }
+};
+
+inline const LibDeflateApi& libdeflate_api() {
+  static LibDeflateApi api;
+  return api;
+}
 
 constexpr int OP_M = 0, OP_I = 1, OP_D = 2, OP_N = 3, OP_S = 4, OP_H = 5,
               OP_P = 6, OP_EQ = 7, OP_X = 8;
@@ -31,9 +58,11 @@ struct BGZFCursor {
   std::vector<uint8_t> scratch;
   z_stream zs{};
   bool zs_ready = false;
+  void* ldef = nullptr;  // per-cursor libdeflate decompressor (thread-safe)
 
   ~BGZFCursor() {
     if (zs_ready) inflateEnd(&zs);
+    if (ldef) libdeflate_api().free_dec(ldef);
   }
 
   bool load_block(int64_t coff) {
@@ -69,17 +98,28 @@ struct BGZFCursor {
                      | ((uint32_t)footer[7] << 24);
     block.resize(isize);
     if (isize > 0) {
-      if (!zs_ready) {
-        if (inflateInit2(&zs, -15) != Z_OK) return false;
-        zs_ready = true;
-      } else if (inflateReset(&zs) != Z_OK) {
-        return false;
+      const LibDeflateApi& api = libdeflate_api();
+      if (api.ok) {
+        if (!ldef) ldef = api.alloc_dec();
+        size_t actual = 0;
+        if (!ldef ||
+            api.decompress(ldef, scratch.data(), cdata_len, block.data(),
+                           isize, &actual) != 0 ||
+            actual != isize)
+          return false;
+      } else {
+        if (!zs_ready) {
+          if (inflateInit2(&zs, -15) != Z_OK) return false;
+          zs_ready = true;
+        } else if (inflateReset(&zs) != Z_OK) {
+          return false;
+        }
+        zs.next_in = scratch.data();
+        zs.avail_in = (uInt)cdata_len;
+        zs.next_out = block.data();
+        zs.avail_out = isize;
+        if (inflate(&zs, Z_FINISH) != Z_STREAM_END) return false;
       }
-      zs.next_in = scratch.data();
-      zs.avail_in = (uInt)cdata_len;
-      zs.next_out = block.data();
-      zs.avail_out = isize;
-      if (inflate(&zs, Z_FINISH) != Z_STREAM_END) return false;
     }
     coffset = coff;
     next_coffset = coff + bsize;
@@ -197,9 +237,21 @@ inline void parse_record(const std::vector<uint8_t>& raw, BamRecord& rec) {
   off += 4ull * n_cigar;
   rec.seq.resize(l_seq);
   const uint8_t* sb = raw.data() + off;
-  for (int k = 0; k < l_seq; k++) {
-    uint8_t code = (k % 2 == 0) ? (sb[k / 2] >> 4) : (sb[k / 2] & 0xF);
-    rec.seq[k] = SEQ_NT16()[code];
+  // nibble-pair LUT: one table lookup emits two decoded bases
+  static const auto SEQ2 = [] {
+    std::vector<uint16_t> t(256);
+    for (int b = 0; b < 256; b++) {
+      char two[2] = {SEQ_NT16()[b >> 4], SEQ_NT16()[b & 0xF]};
+      memcpy(&t[b], two, 2);
+    }
+    return t;
+  }();
+  {
+    char* dst = rec.seq.data();
+    const int pairs = l_seq / 2;
+    for (int k = 0; k < pairs; k++)
+      memcpy(dst + 2 * k, &SEQ2[sb[k]], 2);
+    if (l_seq & 1) dst[l_seq - 1] = SEQ_NT16()[sb[l_seq / 2] >> 4];
   }
   off += (l_seq + 1) / 2;
   rec.qual.assign(raw.data() + off, raw.data() + off + l_seq);

@@ -243,7 +243,7 @@ EncodeResult* encode_region(
         bam_path, chunks, n_chunks, ref_id, fetch_start, fetch_stop,
         include_suppl != 0, min_mapq, [&](const pep::BamRecord& rec) {
           if (pep::trim_record(rec, fetch_start, fetch_stop, tr))
-            all.push_back(tr);
+            all.push_back(std::move(tr));  // trim_record re-clears tr
         });
     int64_t total = (int64_t)all.size();
     int64_t allowed = (int64_t)std::min<double>(
@@ -271,9 +271,15 @@ EncodeResult* encode_region(
   }
 
   // ---- event accumulation (port of events.py read_events) ----
-  std::vector<int32_t> matrix((size_t)(L + 1) * feature_size, 0);
-  for (int64_t i = 0; i < L; i++)
-    matrix[(size_t)i * feature_size] = ref_value(ref_seq[i]);
+  // Accumulate column-major: the per-base walk updates 2-3 fixed columns,
+  // so columnar layout turns them into sequential streams (the row-major
+  // matrix touches a 104-byte row per base). Transposed to row-major once
+  // after the walk; downstream logic is unchanged.
+  const int64_t stride = L + 1;
+  std::vector<int32_t> cmat((size_t)feature_size * stride, 0);
+  auto col = [&](int c) { return cmat.data() + (size_t)c * stride; };
+  std::vector<uint8_t> rok(L);
+  for (int64_t i = 0; i < L; i++) rok[i] = ref_ok(ref_seq[i]) ? 1 : 0;
   std::vector<int32_t> coverage(L, 0), snp_count(L, 0), insert_count(L, 0),
       delete_count(L, 0);
   // SNP alleles on ACGT read bases dominate (one per mismatch); keep them
@@ -336,25 +342,43 @@ EncodeResult* encode_region(
         const int64_t idx0 = ref_position - region_start;
         const int8_t* off = BASE_OFFSET.t;
         const int strand_start = rev ? REV_START : FWD_START;
-        for (int64_t k = 0; k < n_in; k++) {
+        // the last in-region base anchors a following IN/DEL: its ref
+        // column is skipped (region_summary.cpp anchor rule); peel that
+        // base out so the hot loop stays branch-light
+        const bool last_anchors =
+            (n_in > 0 && n_in == n && ci != cig.size() - 1 &&
+             (cig[ci + 1].first == pep::OP_I ||
+              cig[ci + 1].first == pep::OP_D));
+        const int64_t n_main = last_anchors ? n_in - 1 : n_in;
+        int32_t* refc = col(ref_col) + idx0;
+        int32_t* covp = coverage.data() + idx0;
+        int32_t* snpp = snp_count.data() + idx0;
+        const char* rp = ref_seq.data() + idx0;
+        const uint8_t* rkp = rok.data() + idx0;
+        int32_t* strand_cols[8];
+        for (int o = 0; o < 8; o++)
+          strand_cols[o] = col(strand_start + o) + idx0;
+        for (int64_t k = 0; k < n_main; k++) {
           if ((int)qp[k] < bq_thr) continue;
-          const int64_t idx = idx0 + k;
+          covp[k] += 1;
+          refc[k] -= 1;
           const char base = sp[k];
-          const char rbase = ref_seq[idx];
-          int32_t* row = matrix.data() + (size_t)idx * feature_size;
-          coverage[idx] += 1;
-          // the last in-region base anchors a following IN/DEL: its ref
-          // column is skipped (region_summary.cpp anchor rule)
-          bool anchors_indel =
-              (k == n_in - 1 && n_in == n && ci != cig.size() - 1 &&
-               (cig[ci + 1].first == pep::OP_I ||
-                cig[ci + 1].first == pep::OP_D));
-          if (!anchors_indel) row[ref_col] -= 1;
-          if (ref_ok(rbase))
-            row[strand_start + off[(unsigned char)base]] -= 1;
-          if (base != rbase) {
-            snp_count[idx] += 1;
-            add_snp_allele(idx, base, rev);
+          if (rkp[k]) strand_cols[off[(unsigned char)base]][k] -= 1;
+          if (base != rp[k]) {
+            snpp[k] += 1;
+            add_snp_allele(idx0 + k, base, rev);
+          }
+        }
+        if (last_anchors) {
+          const int64_t k = n_in - 1;
+          if ((int)qp[k] >= bq_thr) {
+            covp[k] += 1;  // ref column skipped for the anchor base
+            const char base = sp[k];
+            if (rkp[k]) strand_cols[off[(unsigned char)base]][k] -= 1;
+            if (base != rp[k]) {
+              snpp[k] += 1;
+              add_snp_allele(idx0 + k, base, rev);
+            }
           }
         }
         read_index += n;
@@ -373,9 +397,8 @@ EncodeResult* encode_region(
             coverage[aidx] += 1;
           std::string cand = "2" + std::string(read.seq.data() + s0, alen);
           if ((int64_t)cand.size() <= 61 && qsum >= min_indel_baseq * alen) {
-            if (ref_ok(ref_seq[aidx]))
-              matrix[(size_t)aidx * feature_size +
-                     feature_index(ref_seq[aidx], 'I', rev)] -= 1;
+            if (rok[aidx])
+              col((rev ? REV_START : FWD_START) + 5)[aidx] -= 1;  // 'I'
             insert_count[aidx] += 1;
             add_allele(aidx, cand, rev);
           }
@@ -385,9 +408,8 @@ EncodeResult* encode_region(
         int64_t anchor = ref_position - 1;
         if (anchor >= region_start && anchor <= region_end) {
           int64_t aidx = anchor - region_start;
-          if (ref_ok(ref_seq[aidx]))
-            matrix[(size_t)aidx * feature_size +
-                   feature_index(ref_seq[aidx], 'D', rev)] -= 1;
+          if (rok[aidx])
+            col((rev ? REV_START : FWD_START) + 6)[aidx] -= 1;  // 'D'
           int64_t take = std::min<int64_t>(length + 1, L - aidx);
           std::string cand = "3" + ref_seq.substr(aidx, take);
           if ((int64_t)cand.size() <= 61) {
@@ -397,11 +419,10 @@ EncodeResult* encode_region(
         }
         int64_t lo = std::max(ref_position, region_start);
         int64_t hi = std::min(ref_position + length - 1, region_end);
+        int32_t* starc = col((rev ? REV_START : FWD_START) + 7);  // '*'
         for (int64_t p = lo; p <= hi; p++) {
           int64_t idx = p - region_start;
-          if (ref_ok(ref_seq[idx]))
-            matrix[(size_t)idx * feature_size +
-                   feature_index(ref_seq[idx], '*', rev)] -= 1;
+          if (rok[idx]) starc[idx] -= 1;
         }
         ref_position += length;
       } else if (op == pep::OP_N || op == pep::OP_P) {
@@ -411,6 +432,18 @@ EncodeResult* encode_region(
       } else if (op == pep::OP_S) {
         read_index += length;
       }
+    }
+  }
+
+  // ---- transpose the columnar accumulator into the row-major matrix ----
+  std::vector<int32_t> matrix((size_t)(L + 1) * feature_size, 0);
+  {
+    std::vector<const int32_t*> cp(feature_size);
+    for (int c = 0; c < feature_size; c++) cp[c] = col(c);
+    for (int64_t i = 0; i < L; i++) {
+      int32_t* row = matrix.data() + (size_t)i * feature_size;
+      row[0] = ref_value(ref_seq[i]);
+      for (int c = 1; c < feature_size; c++) row[c] = cp[c][i];
     }
   }
 
@@ -500,59 +533,99 @@ EncodeResult* encode_region(
   }
 
   // ---- candidate windows ----
-  Out out;
-  out.cand_offsets.push_back(0);
-  std::vector<int32_t> image((size_t)win1 * feature_size);
-  std::map<std::string, AlleleCount> site;
+  // Two passes: count gate-passing alleles, then render each window
+  // directly into the result buffers (no staging copy, no vector growth).
+  std::vector<std::pair<std::string, AlleleCount>> site;
+  static const char* SNP_KEYS[4] = {"1A", "1C", "1G", "1T"};
+  auto collect_site = [&](int64_t idx) {
+    // merged lexicographic view of the site map + flat SNP counters
+    site.clear();
+    for (const auto& [cand, ac] : alleles[idx]) site.emplace_back(cand, ac);
+    const auto& e = snp_cnt[idx];
+    for (int bc = 0; bc < 4; bc++)
+      if (e[bc * 3] > 0)
+        site.emplace_back(SNP_KEYS[bc], AlleleCount{e[bc * 3], e[bc * 3 + 1],
+                                                    e[bc * 3 + 2]});
+    std::sort(site.begin(), site.end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
+  };
+  auto gate = [&](int64_t idx, const std::string& cand, const AlleleCount& ac,
+                  int depth) {
+    char ctype = cand[0];
+    double freq = ac.total / std::max(1.0, (double)depth);
+    if (ac.total < cand_support) return false;
+    if (ctype != '1' && freq < indel_cand_freq) return false;
+    if (ctype == '1' && freq < snp_cand_freq) return false;
+    if (ctype != '1' && skip_indels) return false;
+    if ((ctype == '1' && !snp_pass[idx]) ||
+        (ctype == '2' && !ins_pass[idx]) ||
+        (ctype == '3' && !del_pass[idx]))
+      return false;
+    return true;
+  };
+
+  int64_t n_cands = 0, cand_bytes = 0;
+  for (int64_t idx : filtered) {
+    int depth = std::min(coverage[idx], (int32_t)MAXV);
+    collect_site(idx);
+    for (const auto& [cand, ac] : site)
+      if (gate(idx, cand, ac, depth)) {
+        n_cands++;
+        cand_bytes += (int64_t)cand.size();
+      }
+  }
+
+  auto* r = (EncodeResult*)calloc(1, sizeof(EncodeResult));
+  r->n = (int32_t)n_cands;
+  r->window1 = win1;
+  r->features = feature_size;
+  r->positions = (int64_t*)malloc((size_t)n_cands * 8 + 1);
+  r->depths = (int32_t*)malloc((size_t)n_cands * 4 + 1);
+  r->type_labels = (int32_t*)malloc((size_t)n_cands * 4 + 1);
+  r->base_labels = (int32_t*)malloc((size_t)n_cands * 4 + 1);
+  r->cand_freqs = (int32_t*)malloc((size_t)n_cands * 4 + 1);
+  r->cand_offsets = (int32_t*)malloc(((size_t)n_cands + 1) * 4 + 1);
+  r->cand_buf = (char*)malloc((size_t)cand_bytes + 1);
+  r->images =
+      (int32_t*)malloc((size_t)n_cands * win1 * feature_size * 4 + 1);
+  r->cand_offsets[0] = 0;
+  r->cand_buf_len = cand_bytes;
+
+  int64_t ci = 0, cb = 0;
   for (int64_t idx : filtered) {
     int64_t pos = region_start + idx;
     int depth = std::min(coverage[idx], (int32_t)MAXV);
-    // merge flat SNP counters back into the (lexicographic) site map
-    site = alleles[idx];
-    static const char* SNP_KEYS[4] = {"1A", "1C", "1G", "1T"};
-    for (int bc = 0; bc < 4; bc++) {
-      const auto& e = snp_cnt[idx];
-      if (e[bc * 3] > 0)
-        site[SNP_KEYS[bc]] = AlleleCount{e[bc * 3], e[bc * 3 + 1],
-                                         e[bc * 3 + 2]};
-    }
-    for (const auto& [cand, ac] : site) {  // std::map: lexicographic
+    collect_site(idx);
+    for (const auto& [cand, ac] : site) {
+      if (!gate(idx, cand, ac, depth)) continue;
       char ctype = cand[0];
-      double freq = ac.total / std::max(1.0, (double)depth);
-      if (ac.total < cand_support) continue;
-      if (ctype != '1' && freq < indel_cand_freq) continue;
-      if (ctype == '1' && freq < snp_cand_freq) continue;
-      if (ctype != '1' && skip_indels) continue;
-      if ((ctype == '1' && !snp_pass[idx]) ||
-          (ctype == '2' && !ins_pass[idx]) ||
-          (ctype == '3' && !del_pass[idx]))
-        continue;
 
       int base_label = 0, type_label = 0;
       if (train_mode) {
         bool found[2] = {false, false};
         for (int h = 0; h < 2; h++)
-          for (int32_t r : truth_at[h][idx])
-            if (truth_candidate_string(truth[h][r]) == cand) found[h] = true;
-        int gt = (found[0] && found[1]) ? 2 : ((found[0] || found[1]) ? 1 : 0);
+          for (int32_t t : truth_at[h][idx])
+            if (truth_candidate_string(truth[h][t]) == cand) found[h] = true;
+        type_label =
+            (found[0] && found[1]) ? 2 : ((found[0] || found[1]) ? 1 : 0);
         base_label = labels[idx];
-        type_label = gt;
       }
 
-      std::fill(image.begin(), image.end(), 0);
+      int32_t* img = r->images + (size_t)ci * win1 * feature_size;
+      memset(img, 0, (size_t)win1 * feature_size * 4);
       int64_t lo = idx - half;
       int64_t src_lo = std::max<int64_t>(lo, 0);
       int64_t src_hi = std::min<int64_t>(idx + half, L) + 1;
       if (src_hi > src_lo)
-        memcpy(image.data() + (src_lo - lo) * feature_size,
+        memcpy(img + (src_lo - lo) * feature_size,
                matrix.data() + (size_t)src_lo * feature_size,
                (size_t)(src_hi - src_lo) * feature_size * 4);
 
       char ref_base = ref_seq[idx];
       int mid = half;
       int fwd_c = std::min(ac.fwd, MAXV), rev_c = std::min(ac.rev, MAXV);
-      auto M = [&](int r, int c) -> int32_t& {
-        return image[(size_t)r * feature_size + c];
+      auto M = [&](int row, int c) -> int32_t& {
+        return img[(size_t)row * feature_size + c];
       };
       if (ctype == '1') {
         int ffi = feature_index(ref_base, cand[1], false);
@@ -587,41 +660,17 @@ EncodeResult* encode_region(
         }
       }
 
-      out.positions.push_back(pos);
-      out.depths.push_back(depth);
-      out.type_labels.push_back(type_label);
-      out.base_labels.push_back(base_label);
-      out.cand_freqs.push_back(std::min(ac.total, MAXV));
-      out.cand_buf.insert(out.cand_buf.end(), cand.begin(), cand.end());
-      out.cand_offsets.push_back((int32_t)out.cand_buf.size());
-      out.images.insert(out.images.end(), image.begin(), image.end());
+      r->positions[ci] = pos;
+      r->depths[ci] = depth;
+      r->type_labels[ci] = type_label;
+      r->base_labels[ci] = base_label;
+      r->cand_freqs[ci] = std::min(ac.total, MAXV);
+      memcpy(r->cand_buf + cb, cand.data(), cand.size());
+      cb += (int64_t)cand.size();
+      r->cand_offsets[ci + 1] = (int32_t)cb;
+      ci++;
     }
   }
-
-  auto* r = (EncodeResult*)calloc(1, sizeof(EncodeResult));
-  r->n = (int32_t)out.positions.size();
-  r->window1 = win1;
-  r->features = feature_size;
-  auto cp64 = [](const std::vector<int64_t>& v) {
-    auto* p = (int64_t*)malloc(v.size() * 8 + 1);
-    memcpy(p, v.data(), v.size() * 8);
-    return p;
-  };
-  auto cp32 = [](const std::vector<int32_t>& v) {
-    auto* p = (int32_t*)malloc(v.size() * 4 + 1);
-    memcpy(p, v.data(), v.size() * 4);
-    return p;
-  };
-  r->positions = cp64(out.positions);
-  r->depths = cp32(out.depths);
-  r->type_labels = cp32(out.type_labels);
-  r->base_labels = cp32(out.base_labels);
-  r->cand_freqs = cp32(out.cand_freqs);
-  r->cand_offsets = cp32(out.cand_offsets);
-  r->images = cp32(out.images);
-  r->cand_buf = (char*)malloc(out.cand_buf.size() + 1);
-  memcpy(r->cand_buf, out.cand_buf.data(), out.cand_buf.size());
-  r->cand_buf_len = (int64_t)out.cand_buf.size();
   return r;
 }
 
@@ -685,7 +734,7 @@ extern "C" EncodeResult* encode_region_hp(
         bam_path, chunks, n_chunks, ref_id, fetch_start, fetch_stop,
         include_suppl != 0, min_mapq, [&](const pep::BamRecord& rec) {
           if (pep::trim_record(rec, fetch_start, fetch_stop, tr))
-            all.push_back(tr);
+            all.push_back(std::move(tr));  // trim_record re-clears tr
         });
     int64_t total = (int64_t)all.size();
     int64_t allowed = (int64_t)std::min<double>(

@@ -16,7 +16,7 @@ from typing import Iterator, List, Sequence, Tuple
 import h5py
 import numpy as np
 
-from pepper_tpu.encode.region_encoder import CandidateImage
+from pepper_tpu.encode.region_encoder import CandidateBatch, CandidateImage
 
 _VLEN_STR = h5py.special_dtype(vlen=str)
 
@@ -32,6 +32,8 @@ def stack_images(candidates: Sequence[CandidateImage]) -> np.ndarray:
     buffer; stacking tens of thousands of small views through np.stack
     dominates the host stage. When every image is the i-th consecutive
     row of the same base array, return a slice of that base instead."""
+    if isinstance(candidates, CandidateBatch):
+        return candidates.images
     imgs = [c.image for c in candidates]
     base = imgs[0].base
     if (base is not None and base.ndim == 3
@@ -75,25 +77,42 @@ class ImageStore:
         if not candidates:
             return
         g = self.fh.create_group(f"summaries/{summary_name}")
-        g.create_dataset("contigs", data=np.array(
-            [c.contig for c in candidates], dtype="S"))
-        g.create_dataset("positions", data=np.array(
-            [c.position for c in candidates], dtype=np.int32))
-        g.create_dataset("depths", data=np.array(
-            [c.depth for c in candidates], dtype=np.uint8))
-        g.create_dataset("candidates", data=np.array(
-            [c.candidates for c in candidates], dtype=object),
-            dtype=_VLEN_STR)
-        g.create_dataset("candidate_frequency", data=np.array(
-            [c.candidate_frequency for c in candidates], dtype=np.uint8))
+        if isinstance(candidates, CandidateBatch):
+            b = candidates
+            n = len(b)
+            contig_b = b.contig.encode()
+            contigs = np.full(n, contig_b, dtype=f"S{max(1, len(contig_b))}")
+            positions = b.positions.astype(np.int32, copy=False)
+            depths = b.depths.astype(np.uint8)
+            cand_lists = np.empty((n, 1), dtype=object)
+            cand_lists[:, 0] = b.candidates
+            freqs = b.candidate_frequency.astype(np.uint8).reshape(n, 1)
+            base_labels = b.base_labels.astype(np.uint8)
+            type_labels = b.type_labels.astype(np.uint8)
+        else:
+            contigs = np.array([c.contig for c in candidates], dtype="S")
+            positions = np.array([c.position for c in candidates],
+                                 dtype=np.int32)
+            depths = np.array([c.depth for c in candidates], dtype=np.uint8)
+            cand_lists = np.array([c.candidates for c in candidates],
+                                  dtype=object)
+            freqs = np.array([c.candidate_frequency for c in candidates],
+                             dtype=np.uint8)
+            base_labels = np.array([c.base_label for c in candidates],
+                                   dtype=np.uint8)
+            type_labels = np.array([c.type_label for c in candidates],
+                                   dtype=np.uint8)
+        g.create_dataset("contigs", data=contigs)
+        g.create_dataset("positions", data=positions)
+        g.create_dataset("depths", data=depths)
+        g.create_dataset("candidates", data=cand_lists, dtype=_VLEN_STR)
+        g.create_dataset("candidate_frequency", data=freqs)
         g.create_dataset("images",
                          data=stack_images(candidates).astype(np.int8,
                                                               copy=False))
         if train_mode:
-            g.create_dataset("base_labels", data=np.array(
-                [c.base_label for c in candidates], dtype=np.uint8))
-            g.create_dataset("type_label", data=np.array(
-                [c.type_label for c in candidates], dtype=np.uint8))
+            g.create_dataset("base_labels", data=base_labels)
+            g.create_dataset("type_label", data=type_labels)
 
     def summary_names(self) -> List[str]:
         return list(self.fh["summaries"].keys()) if "summaries" in self.fh else []

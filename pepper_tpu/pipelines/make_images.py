@@ -19,7 +19,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from pepper_tpu.encode.region_encoder import CandidateImage, RegionalSummary, TruthRecord
+from pepper_tpu.encode.region_encoder import (CandidateBatch, CandidateImage,
+                                              RegionalSummary, TruthRecord)
 from pepper_tpu.io.bam_reader import BamReader
 from pepper_tpu.io.fasta import FastaReader
 from pepper_tpu.io.vcf import get_truth_records
@@ -142,7 +143,7 @@ def create_region_summary(config: PipelineConfig, bam: BamReader,
                           region_start_position: int,
                           region_end_position: int,
                           bed_list: Optional[Dict] = None
-                          ) -> Optional[List[CandidateImage]]:
+                          ) -> Optional[Sequence[CandidateImage]]:
     """One region's candidate images (AlignmentSummarizer.create_summary)."""
     safe = ConsensCandidateFinder.REGION_SAFE_BASES
 
@@ -151,7 +152,8 @@ def create_region_summary(config: PipelineConfig, bam: BamReader,
         from pepper_tpu.native import encoder as native_encoder
         use_native = native_encoder.available()
 
-    def encode(sub_start: int, sub_end: int, train: bool) -> List[CandidateImage]:
+    def encode(sub_start: int, sub_end: int,
+               train: bool) -> Sequence[CandidateImage]:
         region_start = max(0, sub_start - safe)
         region_end = sub_end + safe
         contig_len = fasta.get_chromosome_sequence_length(chromosome)
@@ -237,9 +239,20 @@ def create_region_summary(config: PipelineConfig, bam: BamReader,
         truth_regions = [(region_start_position, region_end_position)]
 
     out: List[CandidateImage] = []
+    batches: List[CandidateBatch] = []
     rng = np.random
     for sub_start, sub_end in truth_regions:
         candidates = encode(sub_start, sub_end, True)
+        if isinstance(candidates, CandidateBatch):
+            # subsample hom-ref examples, vectorized: draws are consumed in
+            # record order, matching the reference's sequential loop
+            # (AlignmentSummarizer.py:163-179)
+            mask = np.ones(len(candidates), dtype=bool)
+            ref_idx = np.flatnonzero(candidates.type_labels == 0)
+            draws = rng.uniform(0.0, 1.0, len(ref_idx))
+            mask[ref_idx] = draws <= config.random_draw_probability
+            batches.append(candidates.select(mask))
+            continue
         # subsample hom-ref examples (AlignmentSummarizer.py:163-179)
         n_ref = sum(1 for c in candidates if c.type_label == 0)
         draws = rng.uniform(0.0, 1.0, n_ref)
@@ -252,6 +265,10 @@ def create_region_summary(config: PipelineConfig, bam: BamReader,
                     out.append(cand)
             else:
                 out.append(cand)
+    if batches and not out:
+        return CandidateBatch.concat(batches)
+    for b in batches:
+        out.extend(b)
     return out
 
 
