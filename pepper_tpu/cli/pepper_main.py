@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     dm = sub.add_parser("download_models", help="Download trained models.")
     dm.add_argument("-o", "--output_dir", required=True)
+    dm.add_argument("--manifest_url", default=None,
+                    help="Override the model-manifest URL (supports file:// "
+                         "for air-gapped mirrors).")
 
     sub.add_parser("backend_stat",
                    help="Print JAX backend/device configuration.")
@@ -79,11 +82,18 @@ def main(argv=None) -> int:
         perform_stitch(args.input_dir, args.output_dir.rstrip("/") + "/PEPPER",
                        args.threads, stitcher=args.stitcher)
     elif args.sub_command == "download_models":
-        sys.stderr.write(
-            "ERROR: this environment has no network egress; place trained "
-            "checkpoints (.npz native or torch .pkl) in the model directory "
-            "manually, or train with pepper_train.\n")
-        return 1
+        from pepper_tpu.utils.download_model import (MANIFEST_URL,
+                                                     download_models)
+        try:
+            download_models(args.output_dir,
+                            manifest_url=args.manifest_url or MANIFEST_URL)
+        except OSError as exc:
+            sys.stderr.write(
+                f"ERROR: model download failed ({exc}). In air-gapped "
+                "environments pass --manifest_url file://... pointing at a "
+                "local mirror, or place checkpoints (.npz native or torch "
+                ".pkl) in the model directory manually.\n")
+            return 1
     elif args.sub_command == "backend_stat":
         import jax
         print(f"jax version: {jax.__version__}")

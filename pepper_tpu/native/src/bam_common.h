@@ -99,15 +99,16 @@ struct BGZFCursor {
     block.resize(isize);
     if (isize > 0) {
       const LibDeflateApi& api = libdeflate_api();
-      if (api.ok) {
-        if (!ldef) ldef = api.alloc_dec();
+      if (!ldef && api.ok) ldef = api.alloc_dec();
+      if (ldef) {
         size_t actual = 0;
-        if (!ldef ||
-            api.decompress(ldef, scratch.data(), cdata_len, block.data(),
+        if (api.decompress(ldef, scratch.data(), cdata_len, block.data(),
                            isize, &actual) != 0 ||
             actual != isize)
           return false;
       } else {
+        // libdeflate absent, or its decompressor allocation failed
+        // (transient OOM): fall through to the zlib path either way.
         if (!zs_ready) {
           if (inflateInit2(&zs, -15) != Z_OK) return false;
           zs_ready = true;

@@ -576,6 +576,7 @@ EncodeResult* encode_region(
   }
 
   auto* r = (EncodeResult*)calloc(1, sizeof(EncodeResult));
+  if (!r) return nullptr;
   r->n = (int32_t)n_cands;
   r->window1 = win1;
   r->features = feature_size;
@@ -588,6 +589,11 @@ EncodeResult* encode_region(
   r->cand_buf = (char*)malloc((size_t)cand_bytes + 1);
   r->images =
       (int32_t*)malloc((size_t)n_cands * win1 * feature_size * 4 + 1);
+  if (!r->positions || !r->depths || !r->type_labels || !r->base_labels ||
+      !r->cand_freqs || !r->cand_offsets || !r->cand_buf || !r->images) {
+    encode_result_free(r);  // frees whichever members did allocate
+    return nullptr;
+  }
   r->cand_offsets[0] = 0;
   r->cand_buf_len = cand_bytes;
 
@@ -670,6 +676,13 @@ EncodeResult* encode_region(
       r->cand_offsets[ci + 1] = (int32_t)cb;
       ci++;
     }
+  }
+  // The count pass and the render pass must stay in exact lockstep (same
+  // collect_site/gate outcomes); if a future edit makes them diverge, fail
+  // cleanly instead of silently overrunning the preallocated buffers.
+  if (ci != n_cands || cb != cand_bytes) {
+    encode_result_free(r);
+    return nullptr;
   }
   return r;
 }
@@ -1039,17 +1052,18 @@ extern "C" EncodeResult* encode_region_hp(
   }
 
   auto* r = (EncodeResult*)calloc(1, sizeof(EncodeResult));
+  if (!r) return nullptr;
   r->n = (int32_t)out.positions.size();
   r->window1 = win1;
   r->features = feature_size;
-  auto cp64 = [](const std::vector<int64_t>& v) {
+  auto cp64 = [](const std::vector<int64_t>& v) -> int64_t* {
     auto* p = (int64_t*)malloc(v.size() * 8 + 1);
-    memcpy(p, v.data(), v.size() * 8);
+    if (p) memcpy(p, v.data(), v.size() * 8);
     return p;
   };
-  auto cp32 = [](const std::vector<int32_t>& v) {
+  auto cp32 = [](const std::vector<int32_t>& v) -> int32_t* {
     auto* p = (int32_t*)malloc(v.size() * 4 + 1);
-    memcpy(p, v.data(), v.size() * 4);
+    if (p) memcpy(p, v.data(), v.size() * 4);
     return p;
   };
   r->positions = cp64(out.positions);
@@ -1060,6 +1074,11 @@ extern "C" EncodeResult* encode_region_hp(
   r->cand_offsets = cp32(out.cand_offsets);
   r->images = cp32(out.images);
   r->cand_buf = (char*)malloc(out.cand_buf.size() + 1);
+  if (!r->positions || !r->depths || !r->type_labels || !r->base_labels ||
+      !r->cand_freqs || !r->cand_offsets || !r->images || !r->cand_buf) {
+    encode_result_free(r);
+    return nullptr;
+  }
   memcpy(r->cand_buf, out.cand_buf.data(), out.cand_buf.size());
   r->cand_buf_len = (int64_t)out.cand_buf.size();
   return r;

@@ -87,8 +87,9 @@ class ImageStore:
             cand_lists = np.empty((n, 1), dtype=object)
             cand_lists[:, 0] = b.candidates
             freqs = b.candidate_frequency.astype(np.uint8).reshape(n, 1)
-            base_labels = b.base_labels.astype(np.uint8)
-            type_labels = b.type_labels.astype(np.uint8)
+            if train_mode:
+                base_labels = b.base_labels.astype(np.uint8)
+                type_labels = b.type_labels.astype(np.uint8)
         else:
             contigs = np.array([c.contig for c in candidates], dtype="S")
             positions = np.array([c.position for c in candidates],
@@ -98,10 +99,11 @@ class ImageStore:
                                   dtype=object)
             freqs = np.array([c.candidate_frequency for c in candidates],
                              dtype=np.uint8)
-            base_labels = np.array([c.base_label for c in candidates],
-                                   dtype=np.uint8)
-            type_labels = np.array([c.type_label for c in candidates],
-                                   dtype=np.uint8)
+            if train_mode:
+                base_labels = np.array([c.base_label for c in candidates],
+                                       dtype=np.uint8)
+                type_labels = np.array([c.type_label for c in candidates],
+                                       dtype=np.uint8)
         g.create_dataset("contigs", data=contigs)
         g.create_dataset("positions", data=positions)
         g.create_dataset("depths", data=depths)

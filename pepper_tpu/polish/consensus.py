@@ -78,6 +78,8 @@ def make_window_vote_fn(params):
 def call_consensus(image_dir: str, model_path: str, output_dir: str,
                    batch_size: int = 128) -> str:
     """Run consensus inference over all polish images; one prediction file."""
+    from pepper_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

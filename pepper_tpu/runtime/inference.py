@@ -113,6 +113,8 @@ def _model_predictions(config: PipelineConfig, images: np.ndarray) -> np.ndarray
     accelerators (2.5x MXU throughput, identical argmax on this model);
     set PEPPER_TPU_PRECISION=f32 to opt out. Device batches are large and
     transfers run ahead of compute so the MXU, not PCIe/ICI, is the limit."""
+    from pepper_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

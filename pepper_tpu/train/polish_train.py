@@ -105,6 +105,8 @@ def train_polish(train_image_dir: str, test_image_dir: str, model_dir: str,
                  lr: float = 1e-4, weight_decay: float = 1e-6,
                  retrain_model_path: Optional[str] = None, seed: int = 0,
                  mesh=None) -> str:
+    from pepper_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     os.makedirs(model_dir, exist_ok=True)
     images, labels = load_polish_training_data(train_image_dir)
     if images is None:

@@ -124,6 +124,8 @@ def train(train_image_dir: str, test_image_dir: str, model_dir: str,
           retrain_model_path: Optional[str] = None, seed: int = 0,
           mesh=None) -> str:
     """Train loop (train_distributed.py:47-243). Returns best model path."""
+    from pepper_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     os.makedirs(model_dir, exist_ok=True)
     train_data = load_all_summaries(train_image_dir, train_mode=True)
     test_data = load_all_summaries(test_image_dir, train_mode=True)

@@ -186,3 +186,57 @@ def test_vcf_vaf_split(tmp_path, capsys):
     assert main(["-v", str(vcf), "--no_plot"]) == 0
     out = capsys.readouterr().out
     assert "Total true alleles:\t 2" in out
+
+
+def test_download_models_file_manifest(tmp_path):
+    """Offline download_models: file:// manifest + injectable fetch
+    (reference pepper/modules/python/download_model.py:10-27)."""
+    from pepper_tpu.utils.download_model import download_models, parse_manifest
+
+    model_a = tmp_path / "srcA.bin"
+    model_a.write_bytes(b"model-a-bytes")
+    model_b = tmp_path / "srcB.bin"
+    model_b.write_bytes(b"model-b-bytes")
+    manifest = tmp_path / "manifest.csv"
+    manifest.write_text(
+        f"PEPPER_A,file://{model_a}\n\nPEPPER_B,file://{model_b}\n")
+
+    out = tmp_path / "models"
+    paths = download_models(str(out), manifest_url=f"file://{manifest}")
+    assert [os.path.basename(p) for p in paths] == ["PEPPER_A.pkl",
+                                                    "PEPPER_B.pkl"]
+    assert (out / "PEPPER_A.pkl").read_bytes() == b"model-a-bytes"
+    assert not (out / "pepper_model_description.csv").exists()
+
+    # idempotent: existing models are kept, not re-fetched
+    (out / "PEPPER_A.pkl").write_bytes(b"custom")
+    fetched = []
+
+    def spy(url, dest):
+        fetched.append(url)
+        from pepper_tpu.utils.download_model import urllib_fetcher
+        urllib_fetcher(url, dest)
+
+    download_models(str(out), manifest_url=f"file://{manifest}", fetcher=spy)
+    assert (out / "PEPPER_A.pkl").read_bytes() == b"custom"
+    assert fetched == [f"file://{manifest}"]  # both models already present
+
+    assert parse_manifest("a,http://x\n") == [("a", "http://x")]
+
+
+def test_persistent_compile_cache_configured(tmp_path, monkeypatch):
+    """The XLA persistent cache (analog of the reference's cached ONNX
+    export, predict_distributed_cpu.py:177-186) is actually configured."""
+    import pepper_tpu.runtime.compile_cache as cc
+
+    monkeypatch.setattr(cc, "_configured", False)
+    monkeypatch.setenv("PEPPER_TPU_CACHE_DIR", str(tmp_path / "xla"))
+    path = cc.enable_persistent_cache()
+    assert path == str(tmp_path / "xla")
+    import jax
+    assert jax.config.jax_compilation_cache_dir == path
+    assert os.path.isdir(path)
+    # disabled by env sentinel
+    monkeypatch.setattr(cc, "_configured", False)
+    monkeypatch.setenv("PEPPER_TPU_CACHE_DIR", "off")
+    assert cc.enable_persistent_cache() is None
