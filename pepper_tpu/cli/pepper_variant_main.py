@@ -78,6 +78,17 @@ def _add_candidate_thresholds(p):
     p.add_argument("--report_indel_above_freq", type=float, default=None)
 
 
+def _add_multihost(p):
+    p.add_argument("--num_hosts", type=int, default=None,
+                   help="Total hosts sharing this run (regions are striped "
+                        "across hosts; host 0 assembles the global VCF).")
+    p.add_argument("--host_id", type=int, default=None,
+                   help="This host's index in [0, num_hosts).")
+    p.add_argument("--coordinator_address", default=None,
+                   help="jax.distributed coordinator (host:port). Omit for "
+                        "share-nothing filesystem coordination.")
+
+
 def _add_platform_presets(p):
     g = p.add_mutually_exclusive_group()
     g.add_argument("--ont_r9_guppy5_sup", action="store_true", default=False,
@@ -102,11 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     cv = sub.add_parser("call_variant", help="Run the full 3-stage pipeline.")
     for add in (_add_common_io, _add_image_thresholds, _add_inference,
-                _add_candidate_thresholds, _add_platform_presets):
+                _add_candidate_thresholds, _add_platform_presets,
+                _add_multihost):
         add(cv)
 
     mi = sub.add_parser("make_images", help="Stage 1: candidate images.")
-    for add in (_add_common_io, _add_image_thresholds, _add_platform_presets):
+    for add in (_add_common_io, _add_image_thresholds, _add_platform_presets,
+                _add_multihost):
         add(mi)
 
     ri = sub.add_parser("run_inference", help="Stage 2: model inference.")
@@ -115,6 +128,7 @@ def build_parser() -> argparse.ArgumentParser:
     ri.add_argument("-t", "--threads", type=int, default=1)
     ri.add_argument("--use_hp_info", action="store_true", default=False)
     _add_inference(ri)
+    _add_multihost(ri)
 
     fc = sub.add_parser("find_candidates", help="Stage 3: candidates -> VCFs.")
     fc.add_argument("-i", "--input_dir", required=True,
@@ -126,6 +140,7 @@ def build_parser() -> argparse.ArgumentParser:
     fc.add_argument("--use_hp_info", action="store_true", default=False)
     _add_candidate_thresholds(fc)
     _add_platform_presets(fc)
+    _add_multihost(fc)
 
     mv = sub.add_parser("merge_variants",
                         help="Merge PEPPER and DeepVariant VCFs.")
@@ -150,6 +165,9 @@ def config_from_args(args: argparse.Namespace) -> PipelineConfig:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     config = config_from_args(args)
+    if args.sub_command != "merge_variants":
+        from pepper_tpu.parallel import multihost
+        multihost.initialize_from_config(config)
 
     if args.sub_command == "call_variant":
         config.require("min_mapq", "min_snp_baseq", "snp_frequency",
@@ -163,12 +181,16 @@ def main(argv=None) -> int:
         from pepper_tpu.pipelines.make_images import generate_images
         generate_images(config)
     elif args.sub_command == "run_inference":
+        # standalone stage run on a shared image dir: stripe files by host
         from pepper_tpu.runtime.inference import run_inference
-        run_inference(config, args.image_dir, args.output_dir)
+        run_inference(config, args.image_dir, args.output_dir,
+                      shard_files_by_host=True)
     elif args.sub_command == "find_candidates":
+        # standalone stage run on a shared prediction dir: stripe batches
         config.require("allowed_multiallelics", "snp_p_value")
         from pepper_tpu.pipelines.find_candidates import process_candidates
-        process_candidates(config, args.input_dir, args.output_dir)
+        process_candidates(config, args.input_dir, args.output_dir,
+                           shard_batches_by_host=True)
     elif args.sub_command == "merge_variants":
         from pepper_tpu.pipelines.merge_variants import merge_variants
         merge_variants(args.vcf_pepper, args.vcf_deepvariant,

@@ -139,6 +139,12 @@ class PipelineConfig:
     threads: int = 1
     dry: bool = False
 
+    # multi-host scale-out (parallel/multihost.py): regions striped across
+    # hosts, candidates gathered via the shared output dir before the VCF
+    num_hosts: Optional[int] = None
+    host_id: Optional[int] = None
+    coordinator_address: Optional[str] = None
+
     # image generation thresholds (filled by presets)
     downsample_rate: float = 1.0
     min_mapq: Optional[int] = None

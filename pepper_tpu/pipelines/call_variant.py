@@ -40,10 +40,21 @@ def validate_inputs(config: PipelineConfig) -> None:
 
 
 def call_variant(config: PipelineConfig) -> dict:
-    """Run the 3-stage pipeline; returns the output VCF paths."""
+    """Run the 3-stage pipeline; returns the output VCF paths.
+
+    Multi-host: each host runs all 3 stages on its interval shard
+    (share-nothing, per-host run directories); the single sync point is the
+    candidate gather inside process_candidates, after which host 0 writes
+    the global VCFs. Non-zero hosts return an empty path dict."""
+    from pepper_tpu.parallel import multihost
+
     start_time = time.time()
+    multihost.initialize_from_config(config)
     validate_inputs(config)
     timestr = time.strftime("%m%d%Y_%H%M%S")
+    if multihost.host_count() > 1:
+        # clocks may agree: keep per-host run dirs collision-free
+        timestr += f"_host{multihost.host_index()}"
     output_dir = config.output_dir
     if not output_dir.endswith("/"):
         output_dir += "/"

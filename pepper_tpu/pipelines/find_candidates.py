@@ -155,9 +155,10 @@ def _chunks(pairs: List, size: int) -> List[List]:
     return [pairs[i:i + size] for i in range(0, len(pairs), size)]
 
 
-def find_candidates(config: PipelineConfig, prediction_files: List[str]):
-    """Aggregate all batches (CandidateFinder.find_candidates:532-581)."""
-    pairs = list(iter_prediction_batches(prediction_files))
+def collect_candidate_lists(config: PipelineConfig,
+                            pairs: List[Tuple[str, str]]):
+    """Raw (margin, dv) candidate lists over (file, batch) pairs, fanned out
+    over the process pool (CandidateFinder.find_candidates:532-547)."""
     margin_all, dv_all = [], []
     if config.threads > 1 and len(pairs) > 1:
         chunk_size = max(2, len(pairs) // config.threads + 1)
@@ -175,9 +176,17 @@ def find_candidates(config: PipelineConfig, prediction_files: List[str]):
                 dv_all.extend(d)
     else:
         margin_all, dv_all = small_chunk_stitch(config, pairs)
+    return margin_all, dv_all
 
-    margin_all.sort(key=lambda x: (x[0], x[1]))
-    dv_all.sort(key=lambda x: (x[0], x[1]))
+
+def aggregate_candidates(margin_all: list, dv_all: list):
+    """Global sort + positional de-dup into per-site dicts
+    (CandidateFinder.find_candidates:548-581). Input list order only needs
+    to be stable within a (contig, position) key — each key is produced by
+    exactly one batch, so any concatenation of per-worker/per-host shard
+    lists aggregates identically."""
+    margin_all = sorted(margin_all, key=lambda x: (x[0], x[1]))
+    dv_all = sorted(dv_all, key=lambda x: (x[0], x[1]))
 
     margin_dict = defaultdict(list)
     margin_alts = defaultdict(list)
@@ -202,6 +211,13 @@ def find_candidates(config: PipelineConfig, prediction_files: List[str]):
     return contigs, margin_dict, dv_dict
 
 
+def find_candidates(config: PipelineConfig, prediction_files: List[str]):
+    """Single-host aggregation (CandidateFinder.find_candidates:532-581)."""
+    pairs = list(iter_prediction_batches(prediction_files))
+    margin_all, dv_all = collect_candidate_lists(config, pairs)
+    return aggregate_candidates(margin_all, dv_all)
+
+
 def _log(msg: str) -> None:
     sys.stderr.write("[" + datetime.now().strftime("%m-%d-%Y %H:%M:%S")
                      + "] INFO: " + msg + "\n")
@@ -209,15 +225,40 @@ def _log(msg: str) -> None:
 
 
 def process_candidates(config: PipelineConfig, input_dir: str,
-                       output_dir: str) -> Dict[str, str]:
-    """Stage-3 driver (FindCandidates.candidate_finder). Returns VCF paths."""
+                       output_dir: str,
+                       shard_batches_by_host: bool = False) -> Dict[str, str]:
+    """Stage-3 driver (FindCandidates.candidate_finder). Returns VCF paths.
+
+    Multi-host: every host selects candidates over its shard of prediction
+    batches; the lists are gathered through the shared output dir
+    (multihost.gather_candidate_lists — the pipeline's one sync point) and
+    host 0 assembles the global 5-VCF set. Non-zero hosts return {}.
+
+    shard_batches_by_host: stripe (file, batch) pairs across hosts — for
+    standalone runs on a shared prediction dir. Inside call_variant each
+    host's input_dir already holds only its own predictions."""
+    from pepper_tpu.parallel import multihost
+
+    multihost.initialize_from_config(config)
     os.makedirs(output_dir, exist_ok=True)
     prediction_files = image_files(input_dir) or sorted(
         os.path.join(input_dir, f) for f in os.listdir(input_dir)
         if f.endswith("hdf"))
     t0 = time.time()
     _log("STARTING CANDIDATE FINDING.")
-    contigs, _margin, dv_candidates = find_candidates(config, prediction_files)
+    pairs = list(iter_prediction_batches(prediction_files))
+    if shard_batches_by_host and multihost.host_count() > 1:
+        pairs = multihost.host_shard(pairs)
+        _log(f"HOST {multihost.host_index()}/{multihost.host_count()}: "
+             f"{len(pairs)} PREDICTION BATCHES IN SHARD")
+    margin_all, dv_all = collect_candidate_lists(config, pairs)
+    gathered = multihost.gather_candidate_lists(output_dir, margin_all,
+                                                dv_all)
+    if gathered is None:  # non-zero host: shard shipped, host 0 writes VCFs
+        _log(f"HOST {multihost.host_index()}: CANDIDATE SHARD COMPLETE "
+             f"[{time.time() - t0:.1f}s]")
+        return {}
+    contigs, _margin, dv_candidates = aggregate_candidates(*gathered)
 
     with FastaReader(config.fasta) as fa:
         fasta_contigs = [(name, fa.get_chromosome_sequence_length(name))

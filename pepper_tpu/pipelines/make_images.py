@@ -274,10 +274,11 @@ def create_region_summary(config: PipelineConfig, bam: BamReader,
 
 def _worker(config: PipelineConfig, all_intervals: List[Tuple[str, int, int]],
             bed_list, process_id: int) -> int:
+    from pepper_tpu.parallel.multihost import host_tag
     timestr = time.strftime("%m%d%Y_%H%M%S")
     file_name = os.path.join(
         config.image_output_directory,
-        f"pepper_variants_images_thread_{process_id}_{timestr}"
+        f"pepper_variants_images_{host_tag()}thread_{process_id}_{timestr}"
         + ("_hp" if config.use_hp_info else "") + ".hdf5")
     intervals = [r for i, r in enumerate(all_intervals)
                  if i % config.threads == process_id]
@@ -294,9 +295,18 @@ def _worker(config: PipelineConfig, all_intervals: List[Tuple[str, int, int]],
 
 def generate_images(config: PipelineConfig) -> str:
     """Run stage 1; returns the image output directory."""
+    from pepper_tpu.parallel import multihost
+
+    multihost.initialize_from_config(config)
     os.makedirs(config.image_output_directory, exist_ok=True)
     bed_list = parse_region_bed(config.region_bed) if config.region_bed else None
     intervals = build_intervals(config)
+    if multihost.host_count() > 1:
+        # static interval striping across hosts (the reference's i % workers
+        # process striping, ImageGenerationUI.py:326-339, lifted host-level)
+        intervals = multihost.host_shard(intervals)
+        _log(f"HOST {multihost.host_index()}/{multihost.host_count()}: "
+             f"{len(intervals)} INTERVALS IN SHARD")
     _log(f"TOTAL INTERVALS: {len(intervals)}")
     t0 = time.time()
     if config.threads <= 1:

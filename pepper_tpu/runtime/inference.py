@@ -35,11 +35,15 @@ def image_files(image_dir: str) -> List[str]:
                   + glob.glob(os.path.join(image_dir, "*.h5")))
 
 
-def load_all_summaries(image_dir: str, train_mode: bool = False):
-    """Eager load of every summary group (reference dataloader_predict.py)."""
+def load_all_summaries(image_dir, train_mode: bool = False):
+    """Eager load of every summary group (reference dataloader_predict.py).
+
+    `image_dir` may also be an explicit list of files (multi-host shards)."""
     contigs, positions, depths, candidates, freqs, images = [], [], [], [], [], []
     labels = []
-    for path in image_files(image_dir):
+    files = image_dir if isinstance(image_dir, (list, tuple)) \
+        else image_files(image_dir)
+    for path in files:
         with ImageStore(path, "r") as store:
             for name in store.summary_names():
                 s = store.read_summary(name, train_mode=train_mode)
@@ -76,11 +80,25 @@ def _load_model_params(model_path: str):
 
 
 def run_inference(config: PipelineConfig, image_dir: str,
-                  output_dir: str) -> str:
-    """Run stage 2; writes pepper_predictions.hdf into output_dir."""
+                  output_dir: str, shard_files_by_host: bool = False) -> str:
+    """Run stage 2; writes pepper_predictions.hdf into output_dir.
+
+    shard_files_by_host: stripe the image-file list across hosts — for
+    standalone multi-host runs on a shared image directory. Inside
+    call_variant each host already has its own per-run image dir."""
+    from pepper_tpu.parallel import multihost
+
+    multihost.initialize_from_config(config)
     os.makedirs(output_dir, exist_ok=True)
-    data = load_all_summaries(image_dir, train_mode=config.dry)
-    out_path = os.path.join(output_dir, "pepper_predictions.hdf")
+    files = image_files(image_dir)
+    if shard_files_by_host and multihost.host_count() > 1:
+        files = multihost.host_shard(files)
+        _log(f"HOST {multihost.host_index()}/{multihost.host_count()}: "
+             f"{len(files)} IMAGE FILES IN SHARD")
+    data = load_all_summaries(files, train_mode=config.dry)
+    out_path = os.path.join(
+        output_dir, f"pepper_predictions_{multihost.host_tag()}0.hdf"
+        if multihost.host_count() > 1 else "pepper_predictions.hdf")
     if data is None:
         _log("NO CANDIDATE IMAGES FOUND; EMPTY PREDICTIONS.")
         PredictionStore(out_path, "w").close()

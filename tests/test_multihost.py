@@ -1,0 +1,166 @@
+"""Multi-host scale-out tests: 2 local processes stand in for 2 hosts.
+
+The contract (SURVEY.md §5.8, parallel/multihost.py): regions are striped
+across hosts, each host runs the full image->inference->candidate pipeline
+share-nothing, per-host candidate lists are gathered through the shared
+output dir, and host 0 writes global VCFs byte-identical to a 1-host run.
+"""
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.util.synth import (plant_variants, random_genome, simulate_reads,
+                              write_dataset, write_truth_vcf)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_DRIVER = """
+import json, sys
+sys.path.insert(0, {repo!r})
+from pepper_tpu.options import PipelineConfig
+from pepper_tpu.presets import set_parameters
+from pepper_tpu.pipelines.call_variant import call_variant
+
+config = PipelineConfig(**json.load(open(sys.argv[1])))
+call_variant(set_parameters(config))
+"""
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("mh"))
+    genome = random_genome(60000, seed=31)
+    variants = plant_variants(dict(genome), 24, 6, 6, seed=32)
+    records = simulate_reads(genome, variants, coverage=35, seed=33)
+    fasta, bam = write_dataset(tmp, genome, records)
+    truth = write_truth_vcf(os.path.join(tmp, "truth.vcf"), genome, variants)
+    return dict(tmp=tmp, fasta=fasta, bam=bam, truth=truth)
+
+
+def _base_config(dataset, out_dir):
+    return dict(bam=dataset["bam"], fasta=dataset["fasta"],
+                output_dir=out_dir, sub_command="call_variant",
+                ont_r9_guppy5_sup=True, threads=1, dry=True, train_mode=True,
+                truth_vcf=dataset["truth"], random_draw_probability=1.0,
+                region_size=10000)
+
+
+def _run_host(dataset, out_dir, tag, **over):
+    cfg = _base_config(dataset, out_dir)
+    cfg.update(over)
+    cfg_path = os.path.join(dataset["tmp"], f"config_{tag}.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.Popen(
+        [sys.executable, "-c", _DRIVER.format(repo=REPO), cfg_path],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+
+
+def _vcf_bytes(out_dir):
+    paths = sorted(glob.glob(os.path.join(out_dir, "*.vcf.gz")))
+    assert len(paths) == 5, paths
+    return {os.path.basename(p): open(p, "rb").read() for p in paths}
+
+
+def test_two_host_run_matches_single_host_byte_identical(dataset):
+    # 1-process reference run
+    out1 = os.path.join(dataset["tmp"], "out_1host/")
+    proc = _run_host(dataset, out1, "single")
+    _, err = proc.communicate(timeout=600)
+    assert proc.returncode == 0, err.decode()[-3000:]
+
+    # same pipeline as 2 concurrent host processes sharing the output dir
+    out2 = os.path.join(dataset["tmp"], "out_2host/")
+    h1 = _run_host(dataset, out2, "h1", num_hosts=2, host_id=1)
+    h0 = _run_host(dataset, out2, "h0", num_hosts=2, host_id=0)
+    _, err1 = h1.communicate(timeout=600)
+    _, err0 = h0.communicate(timeout=600)
+    assert h1.returncode == 0, err1.decode()[-3000:]
+    assert h0.returncode == 0, err0.decode()[-3000:]
+
+    single = _vcf_bytes(out1)
+    double = _vcf_bytes(out2)
+    assert single.keys() == double.keys()
+    for name in single:
+        assert single[name] == double[name], \
+            f"{name} differs between 1-host and 2-host runs"
+    # the gather cleaned up its shard files
+    assert not glob.glob(os.path.join(out2, ".pepper_candidates_host_*"))
+    # both hosts produced VCF records (not a degenerate empty run)
+    from pepper_tpu.io.vcf import read_vcf
+    full = [p for p in glob.glob(out1 + "*.vcf.gz") if "FULL" in p][0]
+    assert len(read_vcf(full)) >= 10
+
+
+def test_host_shard_striping_and_tags(monkeypatch):
+    from pepper_tpu.parallel import multihost as mh
+
+    monkeypatch.setattr(mh, "_num_hosts", 3)
+    monkeypatch.setattr(mh, "_host_id", 1)
+    assert mh.host_count() == 3 and mh.host_index() == 1
+    assert mh.host_shard(list(range(10))) == [1, 4, 7]
+    assert mh.host_tag() == "host_1_"
+    monkeypatch.setattr(mh, "_num_hosts", None)
+    monkeypatch.setattr(mh, "_host_id", None)
+    assert mh.host_shard(list(range(3))) == [0, 1, 2]
+    assert mh.host_tag() == ""
+
+
+def test_gather_candidate_lists_roundtrip(tmp_path, monkeypatch):
+    from pepper_tpu.parallel import multihost as mh
+
+    # host 1 ships its shard…
+    monkeypatch.setattr(mh, "_num_hosts", 2)
+    monkeypatch.setattr(mh, "_host_id", 1)
+    m1 = [("chr1", 5, 6, "A", ["T"], [0, 1], 30, [10], 0.9, [0.1, 0.9, 0.0])]
+    d1 = [("chr1", 5, 6, "A", ["T"], [0, 1], 30, [10], 0.9,
+           [0.1, 0.9, 0.0], [0.9], False)]
+    assert mh.gather_candidate_lists(str(tmp_path), m1, d1) is None
+    # …host 0 merges it with its own
+    monkeypatch.setattr(mh, "_host_id", 0)
+    m0, d0 = [("chr1", 2, 3, "C", ["G"], [1, 1], 25, [20], 0.8,
+               [0.0, 0.1, 0.9])], []
+    merged_m, merged_d = mh.gather_candidate_lists(str(tmp_path), m0, d0,
+                                                   timeout=5)
+    assert merged_m == m0 + m1
+    assert merged_d == d1
+    assert not list(tmp_path.glob(".pepper_candidates_host_*"))
+
+    # timeout raises instead of hanging forever
+    with pytest.raises(TimeoutError):
+        mh.gather_candidate_lists(str(tmp_path), [], [], timeout=0.3)
+
+
+def test_multihost_cli_flags_parse():
+    from pepper_tpu.cli.pepper_variant_main import build_parser, \
+        config_from_args
+
+    args = build_parser().parse_args(
+        ["call_variant", "-b", "x.bam", "-f", "x.fa", "-o", "out",
+         "--ont_r9_guppy5_sup", "--num_hosts", "4", "--host_id", "2"])
+    config = config_from_args(args)
+    assert config.num_hosts == 4 and config.host_id == 2
+    assert config.coordinator_address is None
+
+
+def test_initialize_validates_host_id(monkeypatch):
+    import importlib
+
+    from pepper_tpu.parallel import multihost as mh
+    importlib.reload(mh)
+    with pytest.raises(ValueError):
+        mh.initialize(num_processes=2)          # missing host_id
+    importlib.reload(mh)
+    with pytest.raises(ValueError):
+        mh.initialize(num_processes=2, process_id=5)  # out of range
+    importlib.reload(mh)
+    mh.initialize(num_processes=2, process_id=1)
+    assert (mh.host_count(), mh.host_index()) == (2, 1)
+    mh.initialize(num_processes=8, process_id=7)  # idempotent: first wins
+    assert (mh.host_count(), mh.host_index()) == (2, 1)
+    importlib.reload(mh)
