@@ -1,23 +1,30 @@
 #!/usr/bin/env python3
-"""Benchmark: variant-calling hot path (pileup encode + model inference).
+"""Benchmark suite: variant-calling end-to-end + polish + realigner.
 
-Measures Mbp/s through the pipeline's hot path on synthetic ONT-like data
-(1 Mbp genome, 35x coverage, 10 kb reads, 8% error): native BAM region
-fetch -> region encode (events + count matrix + candidate windows) -> jitted
-model inference on the available accelerator.
+Primary metric (the headline JSON line): END-TO-END `call_variant` Mbp/s —
+all three stages on synthetic ONT-like data (1 Mbp genome, 35x coverage,
+10 kb reads, 8% error) with the streamed encode->inference pipeline
+(runtime/streaming.py) feeding the real jitted model on the available
+accelerator, then candidate finding + 5-VCF write.
 
-Baseline: the reference's runtime model is per-process CPU inference
-(onnxruntime, 1 thread per caller — predict_distributed_cpu.py:45-57) over
-the same host encode. We time the identical windows through an
-architecture-identical torch model on 1 CPU thread and report
-vs_baseline = our_hotpath_mbps / torch_cpu_hotpath_mbps.
+Baseline (vs_baseline): the reference's deployment model on THIS host —
+N caller processes each running 1-thread CPU RNN inference
+(predict_distributed_cpu.py:45-57,200-213) over the same multi-threaded
+host encode, plus the same stage-3 cost. Torch throughput is measured
+1-thread and scaled by the host's core count (the reference stripes
+callers across cores; scaling is linear by construction since callers
+share nothing).
+
+Also reported (stderr): encode thread-scaling curve, device-only inference
+throughput, chip idle fraction removed by streaming, polish-mode
+consensus+stitch Mbp/s, and realigner windows/s.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Stage timings go to stderr.
 """
 import hashlib
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -54,36 +61,37 @@ def get_dataset():
                                       seed=3)
         write_dataset(cache, genome, records)
         log(f"dataset built in {time.time() - t0:.1f}s ({len(records)} reads)")
-    return fasta, bam
+    return cache, fasta, bam
 
 
-def encode_all(fasta_path, bam_path):
-    """Host stage: the pipeline's own region encode (native fused path when
-    available) over every 100kb region; returns candidate images."""
+def bench_config(fasta, bam, threads):
+    from pepper_tpu.options import PipelineConfig
+    from pepper_tpu.presets import set_parameters
+    return set_parameters(PipelineConfig(
+        bam=bam, fasta=fasta, sub_command="call_variant",
+        ont_r9_guppy5_sup=True, threads=threads))
+
+
+def encode_all(fasta_path, bam_path, n_threads):
+    """Host stage alone: the pipeline's own region encode over every 100kb
+    region; returns candidate images. Used for the thread-scaling curve and
+    the torch-baseline input."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pepper_tpu.io.bam_reader import BamReader
     from pepper_tpu.io.fasta import FastaReader
-    from pepper_tpu.options import PipelineConfig
     from pepper_tpu.pipelines.make_images import create_region_summary
-    from pepper_tpu.presets import set_parameters
 
-    config = set_parameters(PipelineConfig(
-        bam=bam_path, fasta=fasta_path, sub_command="call_variant",
-        ont_r9_guppy5_sup=True))
+    config = bench_config(fasta_path, bam_path, n_threads)
     with FastaReader(fasta_path) as fa:
         contig = fa.get_chromosome_names()[0]
         length = fa.get_chromosome_sequence_length(contig)
 
     def one(start):
-        # the native encode releases the GIL, so region-level threads give
-        # real host parallelism without per-process memory warmup
         with BamReader(bam_path) as bam, FastaReader(fasta_path) as fa:
             end = min(start + 100_000, length) - 1
             return create_region_summary(config, bam, fa, contig, start, end)
 
-    from concurrent.futures import ThreadPoolExecutor
-    # one thread per core: the encode is partly memory-bound, so
-    # oversubscription measurably hurts on small hosts
-    n_threads = max(2, os.cpu_count() or 2)
     with ThreadPoolExecutor(n_threads) as pool:
         results = list(pool.map(one, range(0, length, 100_000)))
     from pepper_tpu.pipelines.datastore import stack_images
@@ -92,9 +100,44 @@ def encode_all(fasta_path, bam_path):
             else np.zeros((0, 33, 26), np.int8))
 
 
-def tpu_inference(images):
-    """bf16 batched inference, transfers enqueued ahead of compute (the
-    runtime's production scheme, runtime/inference.py)."""
+def make_model(cache):
+    import jax
+    from pepper_tpu.models.checkpoint import save_checkpoint
+    from pepper_tpu.models.variant_model import init_variant_params
+    path = cache + "/bench_model.npz"
+    if not os.path.isfile(path):
+        params = init_variant_params(jax.random.PRNGKey(0))
+        save_checkpoint(path, jax.tree_util.tree_map(np.asarray, params), {})
+    return path
+
+
+def bench_e2e(cache, fasta, bam, n_threads):
+    """Full call_variant: streamed encode+inference, then candidates+VCF.
+    Returns (t_stream, t_stage3, n_candidates)."""
+    from pepper_tpu.pipelines.find_candidates import process_candidates
+    from pepper_tpu.pipelines.make_images import build_intervals
+    from pepper_tpu.runtime.streaming import stream_inference
+
+    config = bench_config(fasta, bam, n_threads)
+    config.model_path = make_model(cache)
+    intervals = build_intervals(config)
+
+    out = cache + "/e2e_out"
+    shutil.rmtree(out, ignore_errors=True)
+    pred_dir = out + "/preds/"
+    os.makedirs(pred_dir)
+    pred_path = pred_dir + "pepper_predictions.hdf"
+    t0 = time.time()
+    n = stream_inference(config, intervals, pred_path)
+    t_stream = time.time() - t0
+    t0 = time.time()
+    process_candidates(config, pred_dir, out + "/")
+    t_stage3 = time.time() - t0
+    return t_stream, t_stage3, n
+
+
+def tpu_inference_only(images):
+    """Device-only throughput (the chip's ceiling)."""
     import jax
     import jax.numpy as jnp
     from pepper_tpu.models.variant_model import (init_variant_params,
@@ -108,12 +151,10 @@ def tpu_inference(images):
     def fwd(p, x):
         return variant_forward(p, x.astype(jnp.bfloat16)).astype(jnp.float32)
 
-    # transfer int8 (the stores' native dtype) and cast on device
     x = images.astype(np.int8)
     pad = (-len(x)) % device_batch
     if pad:
         x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], np.int8)])
-    # warmup/compile
     jax.block_until_ready(fwd(params, jnp.asarray(x[:device_batch])))
     t0 = time.time()
     outs = [fwd(params, jnp.asarray(x[lo:lo + device_batch]))
@@ -123,9 +164,10 @@ def tpu_inference(images):
 
 
 def torch_cpu_inference(images):
-    """Timed on a subset and scaled (it is >100x slower than the TPU)."""
+    """1-thread torch throughput, timed on a subset and scaled — the
+    per-caller setup of the reference's CPU runtime."""
     import torch
-    torch.set_num_threads(1)  # per-caller setup of the reference
+    torch.set_num_threads(1)
     from tests.test_models import TorchVariantModel
     model = TorchVariantModel().eval()
     subset = images[:min(4096, len(images))].astype(np.float32)
@@ -141,33 +183,139 @@ def torch_cpu_inference(images):
     return dt * len(images) / max(1, len(x))
 
 
+def bench_polish(n_threads):
+    """Polish mode: make_images -> consensus -> stitch on a 100 kb draft
+    with 30x reads; returns Mbp/s through all three stages."""
+    import jax
+    from pepper_tpu.models.checkpoint import save_checkpoint
+    from pepper_tpu.models.polish_model import init_polish_params
+    from pepper_tpu.polish.pipeline import polish
+    from tests.util.synth import (plant_variants, random_genome,
+                                  simulate_reads_fast, write_dataset)
+
+    size = 100_000
+    cache = "/tmp/pepper_bench_polish_v1"
+    if not os.path.isfile(cache + "/reads.bam"):
+        os.makedirs(cache, exist_ok=True)
+        genome = random_genome(size, seed=11)    # the DRAFT
+        edits = plant_variants(dict(genome), 60, 15, 15, seed=12)
+        edits = [type(v)(v.contig, v.pos, v.ref, v.alt, (1, 1))
+                 for v in edits]                 # draft errors are hom-alt
+        records = simulate_reads_fast(genome, edits, coverage=30,
+                                      read_length=8000, error_rate=0.06,
+                                      seed=13)
+        write_dataset(cache, genome, records)
+    model = cache + "/polish_model.npz"
+    if not os.path.isfile(model):
+        params = init_polish_params(jax.random.PRNGKey(1))
+        save_checkpoint(model, jax.tree_util.tree_map(np.asarray, params), {})
+    out = cache + "/out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    polish(cache + "/reads.bam", cache + "/ref.fa", model, out,
+           threads=n_threads)
+    dt = time.time() - t0
+    return size / 1e6 / dt, dt
+
+
+def bench_realigner():
+    """The polish image-gen realignment hot path at reference-like load:
+    1500 reads x 1 kb window (the workload of the reference's k-mer +
+    striped-SW realigner, pepper/modules/src/local_reassembly/aligner.h)."""
+    from pepper_tpu.io.bam_reader import TrimmedRead
+    from pepper_tpu.polish.realign import align_reads_to_reference
+    from tests.util.synth import random_genome
+
+    rng = np.random.RandomState(5)
+    ref = random_genome(1000, seed=5)[0][1]
+    reads = []
+    bases = "ACGT"
+    for i in range(1500):
+        lo = int(rng.randint(0, 500))
+        hi = min(1000, lo + 400 + int(rng.randint(0, 200)))
+        seq = list(ref[lo:hi])
+        for j in range(len(seq)):  # ~6% errors
+            if rng.rand() < 0.06:
+                seq[j] = bases[rng.randint(4)]
+        seq = "".join(seq)
+        reads.append(TrimmedRead(
+            query_name=f"r{i}", pos=lo, pos_end=lo + len(seq), sequence=seq,
+            base_qualities=[20] * len(seq), cigar_tuples=[(0, len(seq))],
+            mapping_quality=60, flags=0, hp_tag=0, bad_indices=[]))
+    t0 = time.time()
+    aligned = align_reads_to_reference(reads, ref, 0)
+    dt = time.time() - t0
+    return 1500 / dt, dt, len(aligned)
+
+
 def main():
-    fasta, bam = get_dataset()
+    cache, fasta, bam = get_dataset()
 
-    # warm-up pass: this microVM provisions memory pages lazily and slowly;
-    # production is a long-running process, so measure steady state. The
-    # box is small and noisy — report the best of 3 passes.
-    encode_all(fasta, bam)
-    t_host = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        images = encode_all(fasta, bam)
-        t_host = min(t_host, time.time() - t0)
-    log(f"host fetch+encode: {t_host:.2f}s, {len(images)} candidate windows")
+    # ---- encode thread-scaling curve (and warm the page cache) ----------
+    ncpu = os.cpu_count() or 2
+    encode_all(fasta, bam, ncpu)  # warmup: lazily-provisioned microVM pages
+    curve = {}
+    for t in sorted({1, 2, 4, ncpu}):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            images = encode_all(fasta, bam, t)
+            best = min(best, time.time() - t0)
+        curve[t] = best
+    t_host = curve[ncpu]
+    log("encode scaling: " + ", ".join(
+        f"{t}th={curve[t]:.2f}s" for t in sorted(curve)))
+    log(f"host fetch+encode ({ncpu} threads): {t_host:.2f}s, "
+        f"{len(images)} candidate windows")
 
-    t_dev, platform = tpu_inference(images)
+    # ---- device ceiling --------------------------------------------------
+    t_dev, platform = tpu_inference_only(images)
     log(f"device inference ({platform}): {t_dev:.3f}s "
         f"({len(images) / max(t_dev, 1e-9):.0f} windows/s)")
 
-    t_torch = torch_cpu_inference(images)
-    log(f"torch-cpu 1-thread inference: {t_torch:.3f}s "
-        f"({len(images) / max(t_torch, 1e-9):.0f} windows/s)")
+    # ---- full pipeline, streamed (warm pass then best of 2) -------------
+    bench_e2e(cache, fasta, bam, ncpu)  # compile + page warmup
+    t_stream = t_stage3 = float("inf")
+    for _ in range(2):
+        s, c3, n_cand = bench_e2e(cache, fasta, bam, ncpu)
+        if s + c3 < t_stream + t_stage3:
+            t_stream, t_stage3 = s, c3
+    t_e2e = t_stream + t_stage3
+    ours = GENOME_MBP / t_e2e
+    log(f"e2e call_variant (streamed): {t_e2e:.2f}s = stream {t_stream:.2f}s "
+        f"+ candidates {t_stage3:.2f}s ({n_cand} candidates) "
+        f"-> {ours:.3f} Mbp/s")
+    log(f"streaming overhead vs pure encode: "
+        f"{100 * (t_stream / t_host - 1):.0f}% "
+        f"(chip idle time removed: stream hides {t_dev:.3f}s device work)")
 
-    ours = GENOME_MBP / (t_host + t_dev)
-    baseline = GENOME_MBP / (t_host + t_torch)
-    log(f"hot path: ours {ours:.3f} Mbp/s vs reference-style {baseline:.3f} Mbp/s")
+    # ---- reference-style baseline on this host ---------------------------
+    t_torch1 = torch_cpu_inference(images)
+    t_torch_n = t_torch1 / ncpu  # N share-nothing 1-thread callers
+    baseline_e2e = t_host + t_torch_n + t_stage3
+    baseline = GENOME_MBP / baseline_e2e
+    log(f"torch-cpu 1-thread inference: {t_torch1:.1f}s; emulated "
+        f"{ncpu}-caller deployment: {t_torch_n:.1f}s "
+        f"-> reference-style e2e {baseline:.3f} Mbp/s")
+
+    # ---- polish workload --------------------------------------------------
+    try:
+        polish_mbps, polish_dt = bench_polish(ncpu)
+        log(f"polish e2e (images+consensus+stitch, 100kb draft): "
+            f"{polish_dt:.1f}s -> {polish_mbps:.3f} Mbp/s")
+    except Exception as exc:
+        log(f"polish bench failed: {exc}")
+
+    # ---- realigner --------------------------------------------------------
+    try:
+        rps, rdt, n_aligned = bench_realigner()
+        log(f"realigner (1500 reads x 1kb): {rdt:.2f}s "
+            f"({rps:.0f} reads/s, {n_aligned} aligned)")
+    except Exception as exc:
+        log(f"realigner bench failed: {exc}")
+
     print(json.dumps({
-        "metric": "variant_hotpath_throughput",
+        "metric": "variant_e2e_throughput",
         "value": round(ours, 4),
         "unit": "Mbp/s",
         "vs_baseline": round(ours / baseline, 3),

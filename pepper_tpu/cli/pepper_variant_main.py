@@ -49,6 +49,14 @@ def _add_image_thresholds(p):
 
 def _add_inference(p):
     p.add_argument("-bs", "--batch_size", type=int, default=512)
+    p.add_argument("--no_streaming", dest="streaming", action="store_false",
+                   default=True,
+                   help="Disable the fused encode+inference stream; run "
+                        "staged stage 1 then stage 2 with a file barrier.")
+    p.add_argument("--keep_image_artifacts", action="store_true",
+                   default=False,
+                   help="In streaming mode, also write the stage-1 image "
+                        "HDF5s (as artifacts, not a barrier).")
     p.add_argument("--dry", action="store_true", default=False,
                    help="Oracle backend: emit labels as predictions (pipeline test).")
     p.add_argument("-m", "--model_path", default=None,

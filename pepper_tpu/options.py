@@ -160,6 +160,12 @@ class PipelineConfig:
     skip_indels: bool = False
 
     # inference
+    # streaming: fuse stage 1+2 (encode on host threads while the device
+    # infers) — no file barrier between stages; see runtime/streaming.py.
+    # Applies to non-dry call_variant runs; staged stages remain available
+    # as standalone subcommands either way.
+    streaming: bool = True
+    keep_image_artifacts: bool = False
     batch_size: int = 512
     num_workers: int = 0
     quantized: bool = False

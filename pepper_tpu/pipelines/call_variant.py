@@ -65,14 +65,41 @@ def call_variant(config: PipelineConfig) -> dict:
     from pepper_tpu.utils.profiling import stage
 
     _log(f"RUN-ID: {timestr}")
-    _log("STEP 1/3 GENERATING IMAGES:")
-    config.image_output_directory = image_dir
-    with stage("make_images"):
-        generate_images(config)
+    if config.streaming and not config.dry and not config.train_mode:
+        # fused stage 1+2: encode streams into device inference with no
+        # file barrier (runtime/streaming.py); the chip never waits for the
+        # full host encode. Replaces the staged file boundary of the
+        # reference (CallVariant.py:84-104).
+        from pepper_tpu.pipelines.make_images import build_intervals
+        from pepper_tpu.runtime.streaming import stream_inference
 
-    _log("STEP 2/3 RUNNING INFERENCE")
-    with stage("inference"):
-        run_inference(config, image_dir, prediction_dir)
+        _log("STEP 1+2/3 STREAMING IMAGES INTO INFERENCE:")
+        os.makedirs(prediction_dir, exist_ok=True)
+        intervals = build_intervals(config)
+        if multihost.host_count() > 1:
+            intervals = multihost.host_shard(intervals)
+            _log(f"HOST {multihost.host_index()}/{multihost.host_count()}: "
+                 f"{len(intervals)} INTERVALS IN SHARD")
+        image_store_path = None
+        if config.keep_image_artifacts:
+            os.makedirs(image_dir, exist_ok=True)
+            image_store_path = image_dir + "pepper_variants_images_" \
+                + multihost.host_tag() + "streamed.hdf5"
+        prediction_path = prediction_dir + (
+            f"pepper_predictions_{multihost.host_tag()}0.hdf"
+            if multihost.host_count() > 1 else "pepper_predictions.hdf")
+        with stage("stream_encode_inference"):
+            stream_inference(config, intervals, prediction_path,
+                             image_store_path)
+    else:
+        _log("STEP 1/3 GENERATING IMAGES:")
+        config.image_output_directory = image_dir
+        with stage("make_images"):
+            generate_images(config)
+
+        _log("STEP 2/3 RUNNING INFERENCE")
+        with stage("inference"):
+            run_inference(config, image_dir, prediction_dir)
 
     _log("STEP 3/3 FINDING CANDIDATES")
     with stage("find_candidates"):

@@ -79,14 +79,30 @@ def _load_model_params(model_path: str):
     return params
 
 
+def _iter_summary_groups(files, train_mode: bool = False):
+    for path in files:
+        with ImageStore(path, "r") as store:
+            for name in store.summary_names():
+                yield store.read_summary(name, train_mode=train_mode)
+
+
 def run_inference(config: PipelineConfig, image_dir: str,
                   output_dir: str, shard_files_by_host: bool = False) -> str:
     """Run stage 2; writes pepper_predictions.hdf into output_dir.
+
+    Model inference is batched bf16 on device (DeviceRunner): int8
+    transfers (the stores' native dtype — 4x less host->device traffic),
+    fixed-shape padded batches so one compilation serves the whole run,
+    and async dispatch so transfers run ahead of compute. Summary groups
+    stream file-by-file, so WGS-scale runs hold ~one device batch of
+    images in RAM rather than every image (replaces the reference's
+    eager dataloader_predict.py full-RAM load).
 
     shard_files_by_host: stripe the image-file list across hosts — for
     standalone multi-host runs on a shared image directory. Inside
     call_variant each host already has its own per-run image dir."""
     from pepper_tpu.parallel import multihost
+    from pepper_tpu.runtime.streaming import DeviceRunner, _MetaBuffer
 
     multihost.initialize_from_config(config)
     os.makedirs(output_dir, exist_ok=True)
@@ -95,83 +111,67 @@ def run_inference(config: PipelineConfig, image_dir: str,
         files = multihost.host_shard(files)
         _log(f"HOST {multihost.host_index()}/{multihost.host_count()}: "
              f"{len(files)} IMAGE FILES IN SHARD")
-    data = load_all_summaries(files, train_mode=config.dry)
     out_path = os.path.join(
         output_dir, f"pepper_predictions_{multihost.host_tag()}0.hdf"
         if multihost.host_count() > 1 else "pepper_predictions.hdf")
-    if data is None:
-        _log("NO CANDIDATE IMAGES FOUND; EMPTY PREDICTIONS.")
-        PredictionStore(out_path, "w").close()
-        return out_path
-    n = len(data["contigs"])
     t0 = time.time()
 
-    if config.dry:
-        if "type_label" not in data:
-            raise ValueError("--dry requires labeled images (train_mode)")
-        preds = np.zeros((n, ImageOptions.TOTAL_TYPE_LABELS), dtype=np.float64)
-        preds[np.arange(n), data["type_label"]] = 1.0
-    else:
-        preds = _model_predictions(config, data["images"])
+    runner = None
+    if not config.dry:
+        runner = DeviceRunner(_load_model_params(config.model_path),
+                              config.batch_size)
+    flush_rows = config.batch_size if config.dry else runner.batch
 
-    batch_size = config.batch_size
+    n_total = 0
+    batch_no = 0
+    buf = _MetaBuffer()
+    dry_preds: List[np.ndarray] = []
+    pending = []
+
     with PredictionStore(out_path, "w") as store:
-        for b, lo in enumerate(range(0, n, batch_size)):
-            hi = min(lo + batch_size, n)
-            store.write_prediction(
-                b, data["contigs"][lo:hi], data["positions"][lo:hi],
-                data["depths"][lo:hi], data["candidates"][lo:hi],
-                data["candidate_frequency"][lo:hi], preds[lo:hi])
-    _log(f"INFERENCE COMPLETE: {n} CANDIDATES [{time.time() - t0:.1f}s]")
+
+        def flush(meta, probs):
+            nonlocal batch_no
+            contigs, positions, depths, cand_lists, freqs, _ = meta
+            store.write_prediction(batch_no, contigs, positions, depths,
+                                   cand_lists, freqs,
+                                   np.asarray(probs)[:len(contigs)]
+                                   .astype(np.float64))
+            batch_no += 1
+
+        def drain(final: bool):
+            nonlocal buf, dry_preds
+            while buf.rows >= flush_rows or (final and buf.rows):
+                meta, buf = buf.take(min(flush_rows, buf.rows))
+                if config.dry:
+                    n = len(meta[0])
+                    flush(meta, np.concatenate(dry_preds)[:n])
+                    dry_preds = [np.concatenate(dry_preds)[n:]]
+                else:
+                    pending.append((meta, runner.submit(meta[5])))
+                    while len(pending) > 4 or (final and pending):
+                        flush(*pending.pop(0))
+
+        for s in _iter_summary_groups(files, train_mode=config.dry):
+            n = len(s["contigs"])
+            if not n:
+                continue
+            if config.dry:
+                if "type_label" not in s:
+                    raise ValueError(
+                        "--dry requires labeled images (train_mode)")
+                preds = np.zeros((n, ImageOptions.TOTAL_TYPE_LABELS))
+                preds[np.arange(n), s["type_label"]] = 1.0
+                dry_preds.append(preds)
+            # contigs repeat per group; candidates are per-row lists
+            buf.add(s["contigs"][0], s["positions"], s["depths"],
+                    s["candidates"], s["candidate_frequency"],
+                    s["images"].astype(np.int8, copy=False))
+            n_total += n
+            drain(final=False)
+        drain(final=True)
+
+    if n_total == 0:
+        _log("NO CANDIDATE IMAGES FOUND; EMPTY PREDICTIONS.")
+    _log(f"INFERENCE COMPLETE: {n_total} CANDIDATES [{time.time() - t0:.1f}s]")
     return out_path
-
-
-def _model_predictions(config: PipelineConfig, images: np.ndarray) -> np.ndarray:
-    """Batched device inference. bf16 params/activations by default on
-    accelerators (2.5x MXU throughput, identical argmax on this model);
-    set PEPPER_TPU_PRECISION=f32 to opt out. Device batches are large and
-    transfers run ahead of compute so the MXU, not PCIe/ICI, is the limit."""
-    from pepper_tpu.runtime.compile_cache import enable_persistent_cache
-    enable_persistent_cache()
-    import jax
-    import jax.numpy as jnp
-
-    from pepper_tpu.models.variant_model import variant_forward
-    from pepper_tpu.parallel.mesh import (data_mesh, pad_to_multiple,
-                                          replicate, shard_batch)
-
-    params = _load_model_params(config.model_path)
-    n_dev = jax.local_device_count()
-    batch = pad_to_multiple(max(config.batch_size, 2048), n_dev)
-    use_bf16 = (os.environ.get("PEPPER_TPU_PRECISION", "bf16") != "f32"
-                and jax.devices()[0].platform != "cpu")
-    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
-    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
-    if n_dev > 1:
-        mesh = data_mesh()
-        params = replicate(mesh, params)
-        place = lambda x: shard_batch(mesh, jnp.asarray(x))  # noqa: E731
-    else:
-        place = jnp.asarray
-
-    @jax.jit
-    def fwd(p, x):
-        return variant_forward(p, x.astype(dtype)).astype(jnp.float32)
-
-    n = images.shape[0]
-    out = np.zeros((n, ImageOptions.TOTAL_TYPE_LABELS), dtype=np.float64)
-    # transfer int8 (the stores' native dtype — 4x less host->device
-    # traffic) and cast on device; enqueue transfers ahead of compute
-    images8 = images if images.dtype == np.int8 else images.astype(np.int8)
-    device_batches = []
-    for lo in range(0, n, batch):
-        hi = min(lo + batch, n)
-        x = images8[lo:hi]
-        if hi - lo < batch:  # pad the tail so one compilation serves all
-            x = np.concatenate(
-                [x, np.zeros((batch - (hi - lo),) + x.shape[1:], np.int8)])
-        device_batches.append((lo, hi, place(x)))
-    results = [(lo, hi, fwd(params, x)) for lo, hi, x in device_batches]
-    for lo, hi, probs in results:
-        out[lo:hi] = np.asarray(probs)[: hi - lo]
-    return out

@@ -1,0 +1,256 @@
+"""Fused stage-1+2: encode regions on host threads WHILE the device infers.
+
+The reference (and our staged path) fully materializes stage 1's HDF5
+images before stage 2 starts (CallVariant.py:84-104) — on a TPU that means
+the chip idles for the entire host encode (~98% of hot-path wall clock at
+1 Mbp scale). Here the stages stream:
+
+  producer threads ──(bounded queue)──> device batcher ──> prediction store
+  (native BAM fetch + region encode;     (int8 transfer,    (HDF5 artifact,
+   the C++ encoder releases the GIL,      jitted bf16        written behind
+   so threads give real host              forward enqueued   the device)
+   parallelism with zero pickling)        ahead of compute)
+
+The queue is bounded, so whole-genome runs hold only ~2×threads regions of
+images in RAM instead of every image (replaces the eager
+load_all_summaries for the fused path). Stage boundaries survive: the
+prediction HDF5 is still written (stage 3 stays independently re-runnable)
+and image HDF5s can be kept with --keep_image_artifacts — as artifacts,
+not barriers.
+"""
+import os
+import queue
+import sys
+import threading
+import time
+from datetime import datetime
+from typing import List, Optional
+
+import numpy as np
+
+from pepper_tpu.options import ImageOptions, PipelineConfig
+from pepper_tpu.pipelines.datastore import (ImageStore, PredictionStore,
+                                            stack_images)
+
+
+def _log(msg: str) -> None:
+    sys.stderr.write("[" + datetime.now().strftime("%m-%d-%Y %H:%M:%S")
+                     + "] INFO: " + msg + "\n")
+    sys.stderr.flush()
+
+
+class DeviceRunner:
+    """Jitted bf16 batched forward with fixed-shape batches.
+
+    One compilation serves the whole run (tail is padded); batches are
+    sharded over the data mesh when more than one device is visible.
+    Shared by the staged (runtime/inference.py) and streaming paths."""
+
+    def __init__(self, params, batch_size: int = 2048):
+        from pepper_tpu.runtime.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
+        import jax
+        import jax.numpy as jnp
+
+        from pepper_tpu.models.variant_model import variant_forward
+        from pepper_tpu.parallel.mesh import (data_mesh, pad_to_multiple,
+                                              replicate, shard_batch)
+
+        self._jax, self._jnp = jax, jnp
+        n_dev = jax.local_device_count()
+        self.batch = pad_to_multiple(max(batch_size, 2048), n_dev)
+        use_bf16 = (os.environ.get("PEPPER_TPU_PRECISION", "bf16") != "f32"
+                    and jax.devices()[0].platform != "cpu")
+        dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype),
+                                        params)
+        if n_dev > 1:
+            mesh = data_mesh()
+            params = replicate(mesh, params)
+            self._place = lambda x: shard_batch(mesh, jnp.asarray(x))
+        else:
+            self._place = jnp.asarray
+        self._params = params
+
+        @jax.jit
+        def fwd(p, x):
+            return variant_forward(p, x.astype(dtype)).astype(jnp.float32)
+
+        self._fwd = fwd
+
+    def submit(self, images8: np.ndarray):
+        """Enqueue one batch (async dispatch); returns a device array whose
+        first len(images8) rows are the probabilities."""
+        n = len(images8)
+        if n < self.batch:  # pad the tail so one compilation serves all
+            images8 = np.concatenate(
+                [images8,
+                 np.zeros((self.batch - n,) + images8.shape[1:], np.int8)])
+        return self._fwd(self._params, self._place(images8))
+
+
+class _MetaBuffer:
+    """Accumulates per-candidate metadata + int8 images until a device
+    batch is full."""
+
+    def __init__(self):
+        self.contigs: List[str] = []
+        self.positions: List[np.ndarray] = []
+        self.depths: List[np.ndarray] = []
+        self.candidates: List[List[str]] = []
+        self.freqs: List[np.ndarray] = []
+        self.images: List[np.ndarray] = []
+        self.rows = 0
+
+    def add(self, contig, positions, depths, candidates, freqs, images8):
+        self.contigs.extend([contig] * len(positions))
+        self.positions.append(positions)
+        self.depths.append(depths)
+        self.candidates.extend(candidates)
+        self.freqs.append(freqs)
+        self.images.append(images8)
+        self.rows += len(positions)
+
+    def take(self, n: int):
+        """Split off the first n rows as flat arrays."""
+        positions = np.concatenate(self.positions)
+        depths = np.concatenate(self.depths)
+        freqs = np.concatenate(self.freqs)
+        images = np.concatenate(self.images)
+        out = (self.contigs[:n], positions[:n], depths[:n],
+               self.candidates[:n], freqs[:n], images[:n])
+        rest = _MetaBuffer()
+        if n < self.rows:
+            rest.contigs = self.contigs[n:]
+            rest.positions = [positions[n:]]
+            rest.depths = [depths[n:]]
+            rest.candidates = self.candidates[n:]
+            rest.freqs = [freqs[n:]]
+            rest.images = [images[n:]]
+            rest.rows = self.rows - n
+        return out, rest
+
+
+def _batch_fields(result):
+    """(contig, positions, depths, per-row candidate lists, freqs, images8)
+    from either a CandidateBatch or a list of CandidateImage."""
+    from pepper_tpu.encode.region_encoder import CandidateBatch
+    images8 = stack_images(result).astype(np.int8, copy=False)
+    if isinstance(result, CandidateBatch):
+        freqs = np.asarray(result.candidate_frequency).reshape(-1)
+        return (result.contig, np.asarray(result.positions),
+                np.asarray(result.depths),
+                [[c] for c in result.candidates], freqs, images8)
+    return (result[0].contig,
+            np.array([c.position for c in result], np.int64),
+            np.array([c.depth for c in result], np.int32),
+            [list(c.candidates) for c in result],
+            np.array([int(np.atleast_1d(c.candidate_frequency)[0])
+                      for c in result], np.int32),
+            images8)
+
+
+def stream_inference(config: PipelineConfig, intervals,
+                     prediction_path: str,
+                     image_store_path: Optional[str] = None) -> int:
+    """Encode `intervals` and run model inference concurrently; writes
+    prediction batches to `prediction_path`. Returns candidate count."""
+    from pepper_tpu.io.bam_reader import BamReader
+    from pepper_tpu.io.fasta import FastaReader
+    from pepper_tpu.pipelines.make_images import create_region_summary
+    from pepper_tpu.runtime.inference import _load_model_params
+
+    runner = DeviceRunner(_load_model_params(config.model_path),
+                          config.batch_size)
+    n_threads = max(1, config.threads)
+    work: "queue.Queue" = queue.Queue()
+    for iv in intervals:
+        work.put(iv)
+    results: "queue.Queue" = queue.Queue(maxsize=2 * n_threads)
+    errors: List[BaseException] = []
+
+    def producer():
+        # share-nothing per thread: own BAM/FASTA handles (the native
+        # encode releases the GIL, so threads run the C++ walk in parallel)
+        try:
+            with BamReader(config.bam) as bam, \
+                    FastaReader(config.fasta) as fasta:
+                while True:
+                    try:
+                        chr_name, start, end = work.get_nowait()
+                    except queue.Empty:
+                        return
+                    cands = create_region_summary(config, bam, fasta,
+                                                  chr_name, start, end)
+                    if cands:
+                        results.put(_batch_fields(cands))
+        except BaseException as exc:  # fail loudly, never silently drop
+            errors.append(exc)
+            raise
+        finally:
+            results.put(None)  # one sentinel per producer
+
+    threads = [threading.Thread(target=producer, daemon=True)
+               for _ in range(n_threads)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+
+    image_store = ImageStore(image_store_path, "w") if image_store_path \
+        else None
+    buf = _MetaBuffer()
+    pending = []   # (meta_tuple, device_probs) in flight
+    done_sentinels = 0
+    total = 0
+    store = PredictionStore(prediction_path, "w")
+    batch_no = 0
+
+    def flush(meta, probs):
+        nonlocal batch_no
+        contigs, positions, depths, cand_lists, freqs, _ = meta
+        n = len(contigs)
+        store.write_prediction(batch_no, contigs, positions, depths,
+                               cand_lists, freqs,
+                               np.asarray(probs)[:n].astype(np.float64))
+        batch_no += 1
+
+    while done_sentinels < n_threads:
+        item = results.get()
+        if item is None:
+            done_sentinels += 1
+            continue
+        contig, positions, depths, cand_lists, freqs, images8 = item
+        if image_store is not None and len(positions):
+            name = (f"{contig}_{int(positions[0])}_{int(positions[-1])}"
+                    f"_{batch_no}_{total}")
+            from pepper_tpu.encode.region_encoder import CandidateBatch
+            image_store.write_summary(name, CandidateBatch(
+                contig, positions, depths,
+                [c[0] for c in cand_lists], freqs, images8,
+                np.zeros(len(positions), np.int32),
+                np.zeros(len(positions), np.int32)))
+        buf.add(contig, positions, depths, cand_lists, freqs, images8)
+        total += len(positions)
+        while buf.rows >= runner.batch:
+            meta, buf = buf.take(runner.batch)
+            pending.append((meta, runner.submit(meta[5])))
+            # keep a few batches in flight: transfers/compute overlap the
+            # ongoing encode; draining early bounds host+device memory
+            while len(pending) > 4:
+                flush(*pending.pop(0))
+    for t in threads:
+        t.join()
+    if errors:
+        raise RuntimeError(f"streaming encode shard failed: {errors[0]}") \
+            from errors[0]
+    if buf.rows:
+        meta, _ = buf.take(buf.rows)
+        pending.append((meta, runner.submit(meta[5])))
+    for meta, probs in pending:
+        flush(meta, probs)
+    store.close()
+    if image_store is not None:
+        image_store.close()
+    _log(f"STREAMED ENCODE+INFERENCE: {total} CANDIDATES "
+         f"[{time.time() - t0:.1f}s]")
+    return total
