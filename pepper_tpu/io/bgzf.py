@@ -144,13 +144,14 @@ class BGZFWriter:
         self._level = compresslevel
         self._buf = bytearray()
         self._closed = False
+        self._coffset = self._fh.tell()  # compressed bytes written so far
 
     # uncompressed payload capped so the compressed block stays < 64KB
     _FLUSH_AT = 65280
 
     @property
     def virtual_offset(self) -> int:
-        return (self._fh.tell() << 16) | len(self._buf)
+        return (self._coffset << 16) | len(self._buf)
 
     def write(self, data: bytes) -> None:
         self._buf += data
@@ -173,6 +174,7 @@ class BGZFWriter:
         extra = struct.pack("<BBHH", 66, 67, 2, block_size - 1)
         tail = struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data))
         self._fh.write(header + extra + cdata + tail)
+        self._coffset += block_size
 
     def close(self) -> None:
         if self._closed:

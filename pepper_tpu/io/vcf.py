@@ -171,22 +171,24 @@ class _TabixBuilder:
 
 
 class IndexedVcfWriter:
-    """One bgzipped+tabixed VCF output stream."""
+    """One bgzipped+tabixed VCF output stream.
+
+    Records are NOT flushed individually: BGZFWriter.virtual_offset is
+    valid on the unflushed buffer ((block_start << 16) | in_block_offset),
+    so blocks fill to the full 64KB — htslib's own behavior. Per-record
+    flushing costs ~3 zlib streams per variant and 100x file bloat."""
 
     def __init__(self, path: str, header_text: str):
         self.path = path
         self._bgzf = BGZFWriter(path)
         self._tabix = _TabixBuilder()
         self._bgzf.write(header_text.encode())
-        self._bgzf.flush()
 
     def write_record(self, contig: str, beg: int, end: int, line: str):
-        self._bgzf.flush()
         v_start = self._bgzf.virtual_offset
         self._bgzf.write(line.encode())
-        self._bgzf.flush()
-        v_end = self._bgzf.virtual_offset
-        self._tabix.add(contig, beg, end, v_start, v_end)
+        self._tabix.add(contig, beg, end, v_start,
+                        self._bgzf.virtual_offset)
 
     def close(self):
         self._bgzf.close()
@@ -278,7 +280,11 @@ class VCFWriteEngine:
              depth, support, gt_prob, predictions, non_alt_preds,
              in_repeat) = cand
             site_in_repeat = in_repeat or site_in_repeat
-            predicted_genotype = int(np.argmax(predictions))
+            # first-max over the 3 genotype probs (np.argmax semantics,
+            # without the per-candidate numpy dispatch cost)
+            p0, p1, p2 = predictions
+            predicted_genotype = (0 if p0 >= p1 and p0 >= p2
+                                  else (1 if p1 >= p2 else 2))
             if predicted_genotype != 0:
                 p = predictions[predicted_genotype]
                 gt_qual = p if gt_qual < 0 else min(gt_qual, p)

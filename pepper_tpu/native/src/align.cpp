@@ -7,6 +7,12 @@
 // same scoring constants (match 4, mismatch 6, gap open 8, extend 2 —
 // aligner.h:22-28). Produces a new (pos, CIGAR) per read with soft-clipped
 // unaligned ends; same contract as ReadAligner.align_reads_to_reference.
+//
+// Performance model (replaces the reference's SIMD-striped SW): reads come
+// BAM-anchored, so instead of the full query x ref matrix the DP runs in a
+// band of +/-`band` around the read's existing diagonal — O(q * band)
+// cells instead of O(q * r) — with all scratch in thread_local buffers
+// (zero allocation per read). band <= 0 falls back to the full matrix.
 #include <algorithm>
 #include <cstdint>
 #include <cstdlib>
@@ -17,94 +23,151 @@ namespace {
 
 constexpr int MATCH = 4, MISMATCH = 6, GAP_OPEN = 8, GAP_EXT = 2;
 constexpr int OP_M = 0, OP_I = 1, OP_D = 2, OP_S = 4;
+constexpr int32_t NEG = -1000000;
 
-struct Cell {
-  int32_t h, e, f;
+// traceback packing: bits 0-1 = H source (0 stop, 1 diag, 2 E, 3 F),
+// bit 2 = E extends, bit 3 = F extends
+inline uint8_t pack_tb(uint8_t h_src, bool e_ext, bool f_ext) {
+  return h_src | (e_ext ? 4 : 0) | (f_ext ? 8 : 0);
+}
+
+struct Scratch {
+  std::vector<int32_t> h_prev, h_cur, e_prev, e_cur;
+  std::vector<uint8_t> tb;  // (query_len+1) * band_width
 };
+
+thread_local Scratch g_scratch;
 
 }  // namespace
 
 extern "C" {
 
-// Aligns one query to the reference window. Outputs: new 0-based ref offset
-// (into ref), cigar ops/lens written into caller buffers (cap = max ops),
-// returns number of ops (0 => no alignment / keep original).
-int ssw_align_one(const char* ref, int32_t ref_len, const char* query,
-                  int32_t query_len, int32_t* out_ref_offset,
-                  uint8_t* out_ops, int32_t* out_lens, int32_t cap) {
+// Aligns one query to the reference window. `hint` is the expected ref
+// offset of the query start (read.pos - window_start); `band` is the
+// half-width of the DP band around that diagonal (<= 0 => full matrix).
+// Outputs: new 0-based ref offset (into ref), cigar ops/lens written into
+// caller buffers (cap = max ops), returns number of ops (0 => no
+// alignment / keep original).
+int ssw_align_one_banded(const char* ref, int32_t ref_len, const char* query,
+                         int32_t query_len, int32_t hint, int32_t band,
+                         int32_t* out_ref_offset, uint8_t* out_ops,
+                         int32_t* out_lens, int32_t cap) {
   if (ref_len <= 0 || query_len <= 0) return 0;
-  const int32_t NEG = -1000000;
-  // Gotoh affine-gap DP with 3-state traceback: TH records which matrix
-  // produced H (0 stop, 1 diag, 2 E, 3 F); TE/TF record gap extension
-  // (1 = extend, 0 = open from H).
-  std::vector<int32_t> H((size_t)(query_len + 1) * (ref_len + 1), 0);
-  std::vector<int32_t> E((size_t)(query_len + 1) * (ref_len + 1), NEG);
-  std::vector<int32_t> F((size_t)(query_len + 1) * (ref_len + 1), NEG);
-  std::vector<uint8_t> TH((size_t)(query_len + 1) * (ref_len + 1), 0);
-  std::vector<uint8_t> TE((size_t)(query_len + 1) * (ref_len + 1), 0);
-  std::vector<uint8_t> TF((size_t)(query_len + 1) * (ref_len + 1), 0);
-  auto at = [&](int i, int j) { return (size_t)i * (ref_len + 1) + j; };
+  if (band <= 0) {
+    // full matrix == band covering every diagonal
+    hint = (ref_len - query_len) / 2;
+    band = (ref_len + query_len) / 2 + 2;
+  }
+  const int32_t W = 2 * band + 1;  // banded row width; k = j - i - hint + band
+  Scratch& s = g_scratch;
+  s.h_prev.assign(W + 2, 0);
+  s.h_cur.assign(W + 2, 0);
+  s.e_prev.assign(W + 2, NEG);
+  s.e_cur.assign(W + 2, NEG);
+  if ((int64_t)(query_len + 1) * W > (int64_t)s.tb.capacity())
+    s.tb.reserve((size_t)(query_len + 1) * W);
+  s.tb.assign((size_t)(query_len + 1) * W, 0);
+  // index helpers: row arrays are offset by +1 so k-1/k+1 never underflow
+  auto tb_at = [&](int i, int k) -> uint8_t& {
+    return s.tb[(size_t)i * W + k];
+  };
 
-  int32_t best = 0, bi = 0, bj = 0;
+  // row 0 (i = 0): H = 0 along the top (local alignment), E/F = NEG.
+  // h_prev[k+1] holds H(i-1, j) where k = j - i - hint + band for row i.
+  // For row i, previous row's k index of (i-1, j) is k+1; of (i-1, j-1), k.
+  int32_t best = 0, bi = 0, bk = 0;
   for (int i = 1; i <= query_len; i++) {
-    for (int j = 1; j <= ref_len; j++) {
-      int32_t e_ext = E[at(i - 1, j)] - GAP_EXT;
-      int32_t e_open = H[at(i - 1, j)] - GAP_OPEN;
-      int32_t e = std::max(e_ext, e_open);
-      TE[at(i, j)] = e_ext >= e_open ? 1 : 0;
-      int32_t f_ext = F[at(i, j - 1)] - GAP_EXT;
-      int32_t f_open = H[at(i, j - 1)] - GAP_OPEN;
-      int32_t f = std::max(f_ext, f_open);
-      TF[at(i, j)] = f_ext >= f_open ? 1 : 0;
-      int32_t diag = H[at(i - 1, j - 1)]
-                     + (query[i - 1] == ref[j - 1] ? MATCH : -MISMATCH);
-      int32_t h = std::max({0, diag, e, f});
-      E[at(i, j)] = e;
-      F[at(i, j)] = f;
-      H[at(i, j)] = h;
-      uint8_t m = 0;
-      if (h == 0) m = 0;
-      else if (h == diag) m = 1;
-      else if (h == e) m = 2;
-      else m = 3;
-      TH[at(i, j)] = m;
-      if (h > best) { best = h; bi = i; bj = j; }
+    const char qc = query[i - 1];
+    const int32_t j_lo = std::max(1, i + hint - band);
+    const int32_t j_hi = std::min(ref_len, i + hint + band);
+    if (j_lo > j_hi) break;  // band exited the reference
+    const int32_t k_lo = j_lo - i - hint + band;
+    const int32_t k_hi = j_hi - i - hint + band;
+    // cells outside [k_lo, k_hi] are invalid this row; NEG them including
+    // the +1 sentinel slot (index W+1) read as (i-1, j) at the band's top
+    for (int32_t k = 0; k < k_lo; k++) {
+      s.h_cur[k + 1] = NEG;
+      s.e_cur[k + 1] = NEG;
     }
+    for (int32_t k = k_hi + 1; k <= W; k++) {
+      s.h_cur[k + 1] = NEG;
+      s.e_cur[k + 1] = NEG;
+    }
+    // left neighbors of the first in-band cell: column 0 is the local-
+    // alignment edge (H = 0, F open from it); a band edge is unreachable
+    int32_t f_left = NEG;              // F(i, j_lo - 1)
+    int32_t h_left = (j_lo == 1) ? 0 : NEG;  // H(i, j_lo - 1)
+    for (int32_t j = j_lo, k = k_lo; j <= j_hi; j++, k++) {
+      const int32_t h_im1_j = s.h_prev[k + 1 + 1];   // (i-1, j)   -> k+1
+      const int32_t e_im1_j = s.e_prev[k + 1 + 1];
+      // (i-1, j-1) -> k; always inside the previous row's band except at
+      // the matrix edge j-1 == 0 where H = 0 (local alignment)
+      const int32_t h_im1_jm1 = (j == 1) ? 0 : s.h_prev[k + 1];
+
+      const int32_t e_ext = e_im1_j - GAP_EXT;
+      const int32_t e_open = h_im1_j - GAP_OPEN;
+      const int32_t e = e_ext >= e_open ? e_ext : e_open;
+      const int32_t f_ext = f_left - GAP_EXT;
+      const int32_t f_open = h_left - GAP_OPEN;
+      const int32_t f = f_ext >= f_open ? f_ext : f_open;
+      const int32_t diag =
+          h_im1_jm1 + (qc == ref[j - 1] ? MATCH : -MISMATCH);
+      int32_t h = diag;
+      uint8_t src = 1;
+      if (e > h) { h = e; src = 2; }
+      if (f > h) { h = f; src = 3; }
+      if (h <= 0) { h = 0; src = 0; }
+      s.e_cur[k + 1] = e;
+      s.h_cur[k + 1] = h;
+      tb_at(i, k) = pack_tb(src, e_ext >= e_open, f_ext >= f_open);
+      if (h > best) { best = h; bi = i; bk = k; }
+      f_left = f;
+      h_left = h;
+    }
+    std::swap(s.h_prev, s.h_cur);
+    std::swap(s.e_prev, s.e_cur);
   }
   if (best <= 0) return 0;
 
-  // 3-state traceback from (bi, bj) to a zero cell
+  // traceback from (bi, bk): k = j - i - hint + band
   std::vector<std::pair<uint8_t, int32_t>> rev_ops;
-  int i = bi, j = bj;
   auto push = [&](uint8_t op) {
     if (!rev_ops.empty() && rev_ops.back().first == op)
       rev_ops.back().second++;
     else
       rev_ops.emplace_back(op, 1);
   };
+  int i = bi, k = bk;
   int state = 0;  // 0 = H, 1 = E, 2 = F
-  while (i > 0 && j > 0) {
+  while (i > 0) {
+    int32_t j = i + hint - band + k;
+    if (j <= 0) break;
+    uint8_t t = tb_at(i, k);
     if (state == 0) {
-      uint8_t m = TH[at(i, j)];
-      if (m == 0 || H[at(i, j)] <= 0) break;
-      if (m == 1) { push(OP_M); i--; j--; }
-      else if (m == 2) state = 1;
+      uint8_t src = t & 3;
+      if (src == 0) break;
+      if (src == 1) { push(OP_M); i--; }                 // diag: k stays
+      else if (src == 2) state = 1;
       else state = 2;
     } else if (state == 1) {
       push(OP_I);
-      uint8_t ext = TE[at(i, j)];
-      i--;
+      bool ext = t & 4;
+      i--; k++;                                          // (i-1, j) -> k+1
       if (!ext) state = 0;
+      if (k >= W) break;                                 // band edge
     } else {
       push(OP_D);
-      uint8_t ext = TF[at(i, j)];
-      j--;
+      bool ext = t & 8;
+      k--;                                               // (i, j-1) -> k-1
       if (!ext) state = 0;
+      if (k < 0) break;
     }
   }
-  int32_t q_start = i;          // soft-clipped prefix length
-  int32_t q_end_clip = query_len - bi;
-  *out_ref_offset = j;
+  const int32_t q_start = i;                 // soft-clipped prefix length
+  const int32_t q_end_clip = query_len - bi;
+  const int32_t j_start = i + hint - band + k;
+  if (j_start < 0) return 0;
+  *out_ref_offset = j_start;
 
   int n = 0;
   if (q_start > 0) {
@@ -120,6 +183,14 @@ int ssw_align_one(const char* ref, int32_t ref_len, const char* query,
     out_ops[n] = OP_S; out_lens[n] = q_end_clip; n++;
   }
   return n;
+}
+
+// Back-compat entry: full-matrix alignment (old signature).
+int ssw_align_one(const char* ref, int32_t ref_len, const char* query,
+                  int32_t query_len, int32_t* out_ref_offset,
+                  uint8_t* out_ops, int32_t* out_lens, int32_t cap) {
+  return ssw_align_one_banded(ref, ref_len, query, query_len, 0, 0,
+                              out_ref_offset, out_ops, out_lens, cap);
 }
 
 }  // extern "C"

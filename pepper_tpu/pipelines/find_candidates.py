@@ -11,7 +11,7 @@ import sys
 import time
 from collections import defaultdict
 from datetime import datetime
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -24,50 +24,113 @@ from pepper_tpu.runtime.inference import image_files
 
 
 def repeat_annotation(sequence: str, kmer_size: int) -> List[int]:
-    """k-mer repeat counts per position (CandidateFinder.py:279-297)."""
-    max_observed = [1] * len(sequence)
-    for i in range(len(sequence) - (kmer_size - 1)):
+    """k-mer repeat counts per position (CandidateFinder.py:279-297).
+
+    For kmer_size=1 (the only size the live candidate path uses) the
+    reference's O(n^2) scan reduces exactly to per-position homopolymer
+    run length: every position inside a maximal run of length L observes
+    max(1, L) — computed here in one O(n) pass."""
+    n = len(sequence)
+    if kmer_size == 1:
+        out = [1] * n
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and sequence[j] == sequence[i]:
+                j += 1
+            if j - i > 1:
+                out[i:j] = [j - i] * (j - i)
+            i = j
+        return out
+    max_observed = [1] * n
+    for i in range(n - (kmer_size - 1)):
         kmer_count = 0
         end_index = i + (kmer_size - 1)
-        for j in range(i, len(sequence), kmer_size):
+        for j in range(i, n, kmer_size):
             if sequence[i:i + kmer_size] == sequence[j:j + kmer_size]:
                 kmer_count += 1
             else:
                 break
             end_index = j + kmer_size
-        for k in range(i, min(len(sequence), end_index)):
+        for k in range(i, min(n, end_index)):
             max_observed[k] = max(max_observed[k], kmer_count)
     return max_observed
 
 
+_ACGT = frozenset("ACGT")
+
+
 def _valid_allele(allele: str) -> bool:
-    return all(b in "ACGT" for b in allele)
+    if len(allele) == 1:  # the overwhelmingly common case (SNPs)
+        return allele in _ACGT
+    return not (set(allele) - _ACGT)
+
+
+class _ContigSpanCache:
+    """One FASTA fetch per (contig, batch position span) instead of three
+    per candidate: candidates arrive batch-grouped and position-ordered, so
+    a single span read serves every up/downstream slice in the batch."""
+
+    def __init__(self, fasta: FastaReader):
+        self._fasta = fasta
+        self._contig: Optional[str] = None
+        self._lo = 0
+        self._seq = ""
+
+    _AHEAD = 1 << 16   # over-fetch on miss: positions ascend within regions
+
+    def load(self, contig: str, lo: int, hi: int) -> None:
+        lo = max(0, lo)
+        if (contig == self._contig and self._lo <= lo
+                and hi <= self._lo + len(self._seq)):
+            return
+        self._contig, self._lo = contig, lo
+        self._seq = self._fasta.get_reference_sequence(
+            contig, lo, max(hi, lo + self._AHEAD)).upper()
+
+    def slice(self, lo: int, hi: int) -> str:
+        """[lo, hi) clamped to the loaded span (contig-end truncation has
+        the same effect as the reference's per-call clamping)."""
+        lo = max(lo, self._lo)
+        return self._seq[lo - self._lo:hi - self._lo]
 
 
 def small_chunk_stitch(config: PipelineConfig,
                        file_chunks: List[Tuple[str, str]]):
     """Per-(file,batch) candidate selection (CandidateFinder.py:356-531)."""
     fasta = FastaReader(config.fasta)
+    span = _ContigSpanCache(fasta)
     margin_list = []
     deepvariant_list = []
     for file_name, batch_key in file_chunks:
         with PredictionStore(file_name, "r") as store:
             batch = store.read_batch(batch_key)
+        # vectorized per-row reductions + one bulk tolist(): touching numpy
+        # scalars per candidate dominated this stage
+        all_genotypes = np.argmax(batch.base_prediction, axis=1).tolist()
+        all_values = batch.base_prediction[
+            np.arange(len(all_genotypes)), all_genotypes].tolist()
+        all_non_alt = np.maximum(batch.base_prediction[:, 1],
+                                 batch.base_prediction[:, 2]).tolist()
+        all_preds = batch.base_prediction.tolist()
+        all_positions = np.asarray(batch.positions).tolist()
+        all_depths = np.asarray(batch.depths).tolist()
+        freq_rows = np.atleast_2d(np.asarray(batch.candidate_frequency))
+        all_freqs = (freq_rows.tolist() if freq_rows.shape[0] == len(all_preds)
+                     else [[int(f)] for f in np.ravel(
+                         batch.candidate_frequency).tolist()])
         for i in range(len(batch.contigs)):
             contig = batch.contigs[i]
-            position = int(batch.positions[i])
-            depth = int(batch.depths[i])
+            position = all_positions[i]
+            depth = all_depths[i]
             cand_strings = batch.candidates[i]
-            cand_freqs = [int(f) for f in
-                          np.atleast_1d(batch.candidate_frequency[i])]
-            prediction_base = batch.base_prediction[i]
+            cand_freqs = all_freqs[i]
+            prediction_base = all_preds[i]
 
-            reference_base = fasta.get_reference_sequence(
-                contig, position, position + 1).upper()
-            reference_upstream = fasta.get_reference_sequence(
-                contig, position, position + 10).upper()
-            reference_downstream = fasta.get_reference_sequence(
-                contig, max(0, position - 10), position).upper()
+            span.load(contig, position - 10, position + 10)
+            reference_base = span.slice(position, position + 1)
+            reference_upstream = span.slice(position, position + 10)
+            reference_downstream = span.slice(max(0, position - 10), position)
             full_sequence = reference_downstream + reference_upstream
 
             homopolymer_repeats = repeat_annotation(full_sequence, 1)
@@ -79,9 +142,9 @@ def small_chunk_stitch(config: PipelineConfig,
             if reference_base not in "ACGT":
                 continue
 
-            predicted_genotype = int(np.argmax(prediction_base))
+            predicted_genotype = all_genotypes[i]
             genotype = ([0, 0], [0, 1], [1, 1])[predicted_genotype]
-            prediction_value = float(prediction_base[predicted_genotype])
+            prediction_value = all_values[i]
 
             # Margin list: SNPs only, non-hom-ref prediction
             alt_alleles, support = [], []
@@ -96,7 +159,7 @@ def small_chunk_stitch(config: PipelineConfig,
                 margin_list.append((
                     contig, position, position + 1, reference_base,
                     alt_alleles, genotype, depth, support,
-                    prediction_value, list(map(float, prediction_base))))
+                    prediction_value, prediction_base))
 
             # DeepVariant list: per-type p-value gates + freq overrides
             alt_alleles, support = [], []
@@ -106,9 +169,8 @@ def small_chunk_stitch(config: PipelineConfig,
                 alt_type, allele = alt_allele[0], alt_allele[1:]
                 if not _valid_allele(allele):
                     continue
-                vaf = float(freq) / float(depth) if depth else 0.0
-                non_alt_prediction = float(
-                    max(prediction_base[1], prediction_base[2]))
+                vaf = freq / depth if depth else 0.0
+                non_alt_prediction = all_non_alt[i]
                 non_alt_predictions.append(non_alt_prediction)
                 if alt_type == "1":
                     if (not candidate_in_repeat
@@ -145,7 +207,7 @@ def small_chunk_stitch(config: PipelineConfig,
                 deepvariant_list.append((
                     contig, position, position + len(reference_allele),
                     reference_allele, alt_alleles, genotype, depth, support,
-                    prediction_value, list(map(float, prediction_base)),
+                    prediction_value, prediction_base,
                     non_alt_predictions, candidate_in_repeat))
     fasta.close()
     return margin_list, deepvariant_list
@@ -160,7 +222,9 @@ def collect_candidate_lists(config: PipelineConfig,
     """Raw (margin, dv) candidate lists over (file, batch) pairs, fanned out
     over the process pool (CandidateFinder.find_candidates:532-547)."""
     margin_all, dv_all = [], []
-    if config.threads > 1 and len(pairs) > 1:
+    # the pool pays fork + result-pickling costs; below ~4 batches per
+    # worker a single pass through the (already vectorized) loop is faster
+    if config.threads > 1 and len(pairs) >= 4 * config.threads:
         chunk_size = max(2, len(pairs) // config.threads + 1)
         with concurrent.futures.ProcessPoolExecutor(
                 max_workers=config.threads) as pool:

@@ -31,7 +31,13 @@ def _log(msg: str) -> None:
 
 def make_window_vote_fn(params):
     """Jitted (images [B,1000,10]) -> (base_labels, phred) with the
-    reference's window/vote/phred semantics."""
+    reference's window/vote/phred semantics.
+
+    Params are ARGUMENTS of the jitted function (closed-over device
+    constants made the persistent-cache key unstable across processes),
+    and the 19 overlapping windows run under one `lax.scan` (the unrolled
+    graph compiled ~5x slower for identical numerics — the adds into the
+    vote tensor happen in the same order)."""
     import jax
     import jax.numpy as jnp
 
@@ -44,24 +50,31 @@ def make_window_vote_fn(params):
     n_labels = PolishImageOptions.TOTAL_LABELS
     hidden_size = PolishTrainOptions.HIDDEN_SIZE
 
-    import os
     use_bf16 = (os.environ.get("PEPPER_TPU_PRECISION", "bf16") != "f32"
                 and jax.devices()[0].platform != "cpu")
     cdtype = jnp.bfloat16 if use_bf16 else jnp.float32
-    cparams = jax.tree_util.tree_map(lambda a: a.astype(cdtype), params)
+    cparams = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, cdtype), params)
 
-    def fn(images):
+    starts = np.arange(0, seq_len - window + 1, jump)
+
+    def fn(p, images):
         B = images.shape[0]
         x = images.astype(cdtype)
-        hidden = jnp.zeros((B, 2, hidden_size), cdtype)
-        votes = jnp.zeros((B, seq_len, n_labels), jnp.float32)
-        for i in range(0, seq_len, jump):
-            if i + window > seq_len:
-                break
-            chunk = x[:, i:i + window]
-            logits, hidden = polish_forward(cparams, chunk, hidden)
+
+        def step(carry, start):
+            votes, hidden = carry
+            chunk = jax.lax.dynamic_slice_in_dim(x, start, window, axis=1)
+            logits, hidden = polish_forward(p, chunk, hidden)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=2)
-            votes = votes.at[:, i:i + window].add(probs)
+            seg = jax.lax.dynamic_slice_in_dim(votes, start, window, axis=1)
+            votes = jax.lax.dynamic_update_slice_in_dim(
+                votes, seg + probs, start, axis=1)
+            return (votes, hidden), None
+
+        init = (jnp.zeros((B, seq_len, n_labels), jnp.float32),
+                jnp.zeros((B, 2, hidden_size), cdtype))
+        (votes, _), _ = jax.lax.scan(step, init, jnp.asarray(starts))
         base_values = jnp.max(votes, axis=2)
         base_labels = jnp.argmax(votes, axis=2)
         counts = jnp.ones((B, seq_len - 2 * overlap))
@@ -71,8 +84,8 @@ def make_window_vote_fn(params):
         phred = jnp.minimum(phred, 100.0)
         return base_labels, phred
 
-    import jax
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    return lambda images: jitted(cparams, images)
 
 
 def call_consensus(image_dir: str, model_path: str, output_dir: str,

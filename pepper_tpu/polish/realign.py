@@ -39,13 +39,26 @@ def _lib():
                 ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+            lib.ssw_align_one_banded.restype = ctypes.c_int
+            lib.ssw_align_one_banded.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
             _bound = True
     return lib
 
 
 def align_reads_to_reference(reads: List[TrimmedRead], ref_seq: str,
-                             ref_start: int) -> List[TrimmedRead]:
-    """Realign each read locally to ref_seq (anchored at ref_start)."""
+                             ref_start: int,
+                             band: int = 128) -> List[TrimmedRead]:
+    """Realign each read locally to ref_seq (anchored at ref_start).
+
+    Reads are BAM-anchored, so the DP runs in a +/-`band` diagonal band
+    around each read's existing offset (O(len*band) instead of the full
+    O(len*ref_len) matrix — the role of the reference's SIMD-striped SW).
+    band <= 0 forces the full matrix."""
     lib = _lib()
     if lib is None:
         return reads
@@ -56,9 +69,19 @@ def align_reads_to_reference(reads: List[TrimmedRead], ref_seq: str,
     ref_off = ctypes.c_int32(0)
     out = []
     for read in reads:
-        n = lib.ssw_align_one(ref_b, len(ref_b), read.sequence.encode(),
-                              len(read.sequence), ctypes.byref(ref_off),
-                              ops, lens, cap)
+        hint = read.pos - ref_start
+        seq_b = read.sequence.encode()
+        n = 0
+        # fast path: banded around the BAM anchor — unless the anchor is
+        # nonsense (outside the window), where only the full DP can help
+        if band > 0 and -len(seq_b) <= hint <= len(ref_b):
+            n = lib.ssw_align_one_banded(
+                ref_b, len(ref_b), seq_b, len(seq_b),
+                hint, band, ctypes.byref(ref_off), ops, lens, cap)
+        if n <= 0:  # fallback: full matrix (reference's anchor-free SW)
+            n = lib.ssw_align_one_banded(
+                ref_b, len(ref_b), seq_b, len(seq_b),
+                0, 0, ctypes.byref(ref_off), ops, lens, cap)
         if n <= 0:
             out.append(read)
             continue

@@ -102,7 +102,7 @@ def run_inference(config: PipelineConfig, image_dir: str,
     standalone multi-host runs on a shared image directory. Inside
     call_variant each host already has its own per-run image dir."""
     from pepper_tpu.parallel import multihost
-    from pepper_tpu.runtime.streaming import DeviceRunner, _MetaBuffer
+    from pepper_tpu.runtime.streaming import _MetaBuffer, get_device_runner
 
     multihost.initialize_from_config(config)
     os.makedirs(output_dir, exist_ok=True)
@@ -118,8 +118,7 @@ def run_inference(config: PipelineConfig, image_dir: str,
 
     runner = None
     if not config.dry:
-        runner = DeviceRunner(_load_model_params(config.model_path),
-                              config.batch_size)
+        runner = get_device_runner(config.model_path, config.batch_size)
     flush_rows = config.batch_size if config.dry else runner.batch
 
     n_total = 0

@@ -86,7 +86,28 @@ class DeviceRunner:
             images8 = np.concatenate(
                 [images8,
                  np.zeros((self.batch - n,) + images8.shape[1:], np.int8)])
-        return self._fwd(self._params, self._place(images8))
+        out = self._fwd(self._params, self._place(images8))
+        try:
+            out.copy_to_host_async()  # start the D2H transfer immediately
+        except AttributeError:
+            pass
+        return out
+
+
+_runner_cache: dict = {}
+
+
+def get_device_runner(model_path: str, batch_size: int) -> DeviceRunner:
+    """Process-wide DeviceRunner cache: the checkpoint load + device
+    placement of params costs ~1s (more over a tunneled chip) and is
+    identical for every stage-2 invocation of the same model."""
+    key = (os.path.abspath(model_path), max(batch_size, 2048),
+           os.environ.get("PEPPER_TPU_PRECISION", "bf16"))
+    if key not in _runner_cache:
+        from pepper_tpu.runtime.inference import _load_model_params
+        _runner_cache[key] = DeviceRunner(_load_model_params(model_path),
+                                          batch_size)
+    return _runner_cache[key]
 
 
 class _MetaBuffer:
@@ -158,10 +179,10 @@ def stream_inference(config: PipelineConfig, intervals,
     from pepper_tpu.io.bam_reader import BamReader
     from pepper_tpu.io.fasta import FastaReader
     from pepper_tpu.pipelines.make_images import create_region_summary
-    from pepper_tpu.runtime.inference import _load_model_params
 
-    runner = DeviceRunner(_load_model_params(config.model_path),
-                          config.batch_size)
+    # big fixed batches: fewer dispatches/transfers, same one compilation
+    runner = get_device_runner(config.model_path,
+                               max(config.batch_size, 4096))
     n_threads = max(1, config.threads)
     work: "queue.Queue" = queue.Queue()
     for iv in intervals:

@@ -124,8 +124,22 @@ def train_polish(train_image_dir: str, test_image_dir: str, model_dir: str,
     params = replicate(mesh, params)
     optimizer = make_optimizer(weight_decay)
     opt_state = optimizer.init(params)
+    if retrain_model_path and retrain_model_path.endswith(".npz"):
+        from pepper_tpu.models.checkpoint import load_opt_state
+        restored = load_opt_state(retrain_model_path, opt_state)
+        if restored is not None:
+            opt_state = restored
+            _log("OPTIMIZER STATE RESTORED")
     opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
     step_fn = make_polish_train_step(optimizer)
+
+    # run-stamped stats artifacts (reference pepper/.../train_distributed.py)
+    stats_dir = os.path.join(model_dir,
+                             "stats_" + time.strftime("%m%d%Y_%H%M%S"))
+    os.makedirs(stats_dir, exist_ok=True)
+    train_loss_csv = open(os.path.join(stats_dir, "train_loss.csv"), "w")
+    test_loss_csv = open(os.path.join(stats_dir, "test_loss.csv"), "w")
+    cm_path = os.path.join(stats_dir, "confusion_matrix.txt")
 
     window = PolishTrainOptions.TRAIN_WINDOW
     jump = PolishTrainOptions.WINDOW_JUMP
@@ -151,19 +165,31 @@ def train_polish(train_image_dir: str, test_image_dir: str, model_dir: str,
                 total_loss += float(loss)
                 total_windows += 1
         host_params = jax.tree_util.tree_map(np.asarray, params)
+        host_opt = jax.tree_util.tree_map(np.asarray, opt_state)
+        epoch_loss = total_loss / max(1, total_windows)
+        train_loss_csv.write(f"{epoch + 1},{epoch_loss}\n")
         if test_images is not None:
-            _, accuracy = polish_accuracy(params, test_images, test_labels)
-            _log(f"EPOCH {epoch + 1} LOSS {total_loss / max(1, total_windows):.4f} "
+            cm, accuracy = polish_accuracy(params, test_images, test_labels)
+            _log(f"EPOCH {epoch + 1} LOSS {epoch_loss:.4f} "
                  f"ACCURACY {accuracy:.3f}")
+            test_loss_csv.write(f"{epoch + 1},{epoch_loss},{accuracy}\n")
+            with open(cm_path, "w") as fh:
+                fh.write(f"epoch {epoch + 1} accuracy {accuracy:.4f}\n")
+                fh.write(np.array2string(np.asarray(cm)) + "\n")
             save_checkpoint(
                 os.path.join(model_dir, f"PEPPER_POLISH_EPOCH_{epoch + 1}.npz"),
-                host_params, {"epochs": epoch + 1, "accuracy": accuracy})
+                host_params, {"epochs": epoch + 1, "accuracy": accuracy},
+                opt_state=host_opt)
             if accuracy > best_accuracy:
                 best_accuracy = accuracy
                 save_checkpoint(best_path, host_params,
-                                {"epochs": epoch + 1, "accuracy": accuracy})
+                                {"epochs": epoch + 1, "accuracy": accuracy},
+                                opt_state=host_opt)
         else:
-            save_checkpoint(best_path, host_params, {"epochs": epoch + 1})
+            save_checkpoint(best_path, host_params, {"epochs": epoch + 1},
+                            opt_state=host_opt)
+    train_loss_csv.close()
+    test_loss_csv.close()
     _log(f"POLISH TRAINING COMPLETE [{time.time() - t0:.1f}s] "
-         f"BEST ACCURACY: {best_accuracy:.3f}")
+         f"BEST ACCURACY: {best_accuracy:.3f} STATS: {stats_dir}")
     return best_path

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from pepper_tpu.models.checkpoint import save_checkpoint
+from pepper_tpu.models.checkpoint import load_opt_state, save_checkpoint
 from pepper_tpu.models.variant_model import init_variant_params, variant_forward
 from pepper_tpu.options import ImageOptions
 from pepper_tpu.parallel.mesh import data_mesh, replicate, shard_batch
@@ -138,10 +138,15 @@ def train(train_image_dir: str, test_image_dir: str, model_dir: str,
 
     mesh = mesh or data_mesh()
     key = jax.random.PRNGKey(seed)
+    start_epoch = 0
     if retrain_model_path:
+        from pepper_tpu.models.checkpoint import load_checkpoint
         from pepper_tpu.runtime.inference import _load_model_params
         params = jax.tree_util.tree_map(jnp.asarray,
                                         _load_model_params(retrain_model_path))
+        if retrain_model_path.endswith(".npz"):
+            _, prev_meta = load_checkpoint(retrain_model_path)
+            start_epoch = int(prev_meta.get("epochs", 0))
         _log(f"RETRAIN MODEL LOADED: {retrain_model_path}")
     else:
         key, pkey = jax.random.split(key)
@@ -153,9 +158,24 @@ def train(train_image_dir: str, test_image_dir: str, model_dir: str,
 
     optimizer = make_optimizer(weight_decay)
     opt_state = optimizer.init(params)
+    if retrain_model_path and retrain_model_path.endswith(".npz"):
+        # resume Adam moments + step count (reference restores
+        # 'model_optimizer', ModelHander.py:17-59)
+        restored = load_opt_state(retrain_model_path, opt_state)
+        if restored is not None:
+            opt_state = restored
+            _log("OPTIMIZER STATE RESTORED")
     opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
     step_fn = make_train_step(optimizer)
     scheduler = ReduceLROnPlateau(lr, patience=2, min_lr=0.75 * lr)
+
+    # run-stamped stats artifacts (reference train_distributed.py:49-51)
+    stats_dir = os.path.join(model_dir,
+                             "stats_" + time.strftime("%m%d%Y_%H%M%S"))
+    os.makedirs(stats_dir, exist_ok=True)
+    train_loss_csv = open(os.path.join(stats_dir, "train_loss.csv"), "w")
+    test_loss_csv = open(os.path.join(stats_dir, "test_loss.csv"), "w")
+    cm_path = os.path.join(stats_dir, "confusion_matrix.txt")
 
     rng = np.random.RandomState(seed)
     step_no = 0
@@ -163,7 +183,7 @@ def train(train_image_dir: str, test_image_dir: str, model_dir: str,
     best_path = os.path.join(model_dir, "PEPPER_VARIANT_BEST.npz")
     n_steps_per_epoch = max(1, len(images) // batch_size)
     total_steps = epoch_limit * min(step_size, n_steps_per_epoch)
-    epoch = 0
+    epoch = start_epoch
     t0 = time.time()
     while step_no < total_steps:
         for idx in _batches(rng, len(images), batch_size):
@@ -173,6 +193,7 @@ def train(train_image_dir: str, test_image_dir: str, model_dir: str,
             key, dkey = jax.random.split(key)
             params, opt_state, loss = step_fn(params, opt_state, x, y, dkey)
             step_no += 1
+            train_loss_csv.write(f"{epoch},{step_no},{float(loss)}\n")
             if step_no % step_size == 0 or step_no >= total_steps:
                 if test_data is not None:
                     cm, accuracy = confusion_and_accuracy(
@@ -182,20 +203,30 @@ def train(train_image_dir: str, test_image_dir: str, model_dir: str,
                     opt_state.hyperparams["learning_rate"] = jnp.asarray(new_lr)
                     _log(f"STEP {step_no} LOSS {float(loss):.3f} "
                          f"ACCURACY {accuracy:.3f} LR {new_lr:.2e}")
+                    test_loss_csv.write(
+                        f"{epoch},{step_no},{float(loss)},{accuracy}\n")
+                    with open(cm_path, "w") as fh:  # latest eval's matrix
+                        fh.write(f"step {step_no} accuracy {accuracy:.4f}\n")
+                        fh.write(np.array2string(cm) + "\n")
                     ckpt_path = os.path.join(
                         model_dir, f"PEPPER_VARIANT_STEP_{step_no}.npz")
                     host_params = jax.tree_util.tree_map(np.asarray, params)
+                    host_opt = jax.tree_util.tree_map(np.asarray, opt_state)
                     save_checkpoint(ckpt_path, host_params,
                                     {"epochs": epoch, "step": step_no,
-                                     "accuracy": accuracy})
+                                     "accuracy": accuracy},
+                                    opt_state=host_opt)
                     if accuracy > best_accuracy:
                         best_accuracy = accuracy
                         save_checkpoint(best_path, host_params,
                                         {"epochs": epoch, "step": step_no,
-                                         "accuracy": accuracy})
+                                         "accuracy": accuracy},
+                                        opt_state=host_opt)
             if step_no >= total_steps:
                 break
         epoch += 1
+    train_loss_csv.close()
+    test_loss_csv.close()
     _log(f"TRAINING COMPLETE [{time.time() - t0:.1f}s] "
-         f"BEST ACCURACY: {best_accuracy:.3f}")
+         f"BEST ACCURACY: {best_accuracy:.3f} STATS: {stats_dir}")
     return best_path

@@ -86,3 +86,84 @@ def test_train_learns_synthetic(tmp_path):
     # majority-class baseline
     majority = 100.0 * np.bincount(data["type_label"]).max() / len(data["images"])
     assert accuracy >= majority, (accuracy, majority)
+
+
+def test_opt_state_checkpoint_roundtrip(tmp_path):
+    """Optimizer state save/restore (reference 'model_optimizer',
+    ModelHander.py:5-59): Adam moments + step count survive a checkpoint."""
+    import optax
+    from pepper_tpu.models.checkpoint import (load_opt_state,
+                                              save_checkpoint)
+    from pepper_tpu.models.variant_model import init_variant_params
+    from pepper_tpu.train.variant_train import make_optimizer
+
+    params = init_variant_params(jax.random.PRNGKey(0), hidden=8)
+    optimizer = make_optimizer(1e-6)
+    opt_state = optimizer.init(params)
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(3e-4)
+    # advance the state so moments are non-trivial
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    for _ in range(3):
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, jax.tree_util.tree_map(np.asarray, params),
+                    {"epochs": 2},
+                    opt_state=jax.tree_util.tree_map(np.asarray, opt_state))
+    template = optimizer.init(params)
+    restored = load_opt_state(path, template)
+    assert restored is not None
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # a params-only checkpoint yields None (graceful fresh optimizer)
+    save_checkpoint(str(tmp_path / "plain.npz"),
+                    jax.tree_util.tree_map(np.asarray, params), {})
+    assert load_opt_state(str(tmp_path / "plain.npz"), template) is None
+
+
+@pytest.mark.slow
+def test_train_writes_stats_and_resumes_optimizer(tmp_path):
+    """train() writes run-stamped loss CSVs + confusion matrix and a
+    checkpoint that restores optimizer state on --retrain_model_path."""
+    import glob as _glob
+
+    from pepper_tpu.options import PipelineConfig
+    from pepper_tpu.pipelines.make_images import generate_images
+    from pepper_tpu.presets import set_parameters
+    from tests.util.synth import (plant_variants, random_genome,
+                                  simulate_reads, write_dataset,
+                                  write_truth_vcf)
+    tmp = str(tmp_path)
+    genome = random_genome(20000, seed=81)
+    variants = plant_variants(dict(genome), 8, 2, 2, seed=82)
+    records = simulate_reads(genome, variants, coverage=25, seed=83,
+                             error_rate=0.02)
+    fasta, bam = write_dataset(tmp, genome, records)
+    truth = write_truth_vcf(tmp + "/truth.vcf", genome, variants)
+    config = set_parameters(PipelineConfig(
+        bam=bam, fasta=fasta, output_dir=tmp, sub_command="make_train_images",
+        ont_r9_guppy5_sup=True, threads=1, train_mode=True, truth_vcf=truth,
+        random_draw_probability=1.0,
+        image_output_directory=tmp + "/imgs/"))
+    generate_images(config)
+
+    model_path = train(tmp + "/imgs/", tmp + "/imgs/", tmp + "/m1/",
+                       batch_size=16, epoch_limit=1, step_size=5, lr=2e-4)
+    stats = _glob.glob(tmp + "/m1/stats_*")
+    assert len(stats) == 1
+    for name in ("train_loss.csv", "test_loss.csv", "confusion_matrix.txt"):
+        p = os.path.join(stats[0], name)
+        assert os.path.getsize(p) > 0, name
+    line = open(os.path.join(stats[0], "train_loss.csv")).readline().split(",")
+    assert len(line) == 3 and float(line[2]) > 0
+
+    # checkpoint carries optimizer state; retrain restores it
+    import numpy as _np
+    with _np.load(model_path) as z:
+        assert any(k.startswith("__opt__/") for k in z.files)
+    model2 = train(tmp + "/imgs/", tmp + "/imgs/", tmp + "/m2/",
+                   batch_size=16, epoch_limit=1, step_size=5, lr=2e-4,
+                   retrain_model_path=model_path)
+    assert os.path.isfile(model2)
