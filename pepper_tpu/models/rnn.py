@@ -68,8 +68,13 @@ def _lstm_scan(x_proj, w_hh, b_hh, h0, c0, reverse: bool):
         h = o * jnp.tanh(c)
         return (h, c), h
 
+    # Give the carry the same varying manual axes as the scanned input so
+    # the scan typechecks under shard_map (runtime/streaming.py shards the
+    # batch per device); the mul-by-zero folds away in XLA.
+    vma0 = x_proj[:, 0, :1] * 0
     xs = jnp.swapaxes(x_proj, 0, 1)  # [T,B,4H]
-    (_, _), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    (_, _), hs = jax.lax.scan(step, (h0 + vma0, c0 + vma0), xs,
+                              reverse=reverse)
     return jnp.swapaxes(hs, 0, 1)
 
 
@@ -87,8 +92,10 @@ def _lstm_scan_state(x_proj, w_hh, b_hh, h0, c0, reverse: bool):
         h = o * jnp.tanh(c)
         return (h, c), h
 
+    vma0 = x_proj[:, 0, :1] * 0  # carry vma must match input (see _lstm_scan)
     xs = jnp.swapaxes(x_proj, 0, 1)
-    (h_last, c_last), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    (h_last, c_last), hs = jax.lax.scan(step, (h0 + vma0, c0 + vma0), xs,
+                                        reverse=reverse)
     return jnp.swapaxes(hs, 0, 1), h_last, c_last
 
 
@@ -143,8 +150,9 @@ def _gru_scan(x_proj, w_hh, b_hh, h0, reverse: bool):
         h = (1.0 - z) * n + z * h
         return h, h
 
+    vma0 = x_proj[:, 0, :1] * 0  # carry vma must match input (see _lstm_scan)
     xs = jnp.swapaxes(x_proj, 0, 1)
-    h_last, hs = jax.lax.scan(step, h0, xs, reverse=reverse)
+    h_last, hs = jax.lax.scan(step, h0 + vma0, xs, reverse=reverse)
     return h_last, jnp.swapaxes(hs, 0, 1)
 
 

@@ -27,12 +27,31 @@ Params = Dict
 def _use_fused_rnn(train_mode: bool) -> bool:
     """The Pallas fused biLSTM (ops/fused_lstm.py) keeps the recurrent
     carry in VMEM and beats the lax.scan path ~8% at bf16 on TPU. It has
-    no VJP, so training keeps the scan, and XLA's SPMD partitioner can't
-    split a pallas_call over a sharded batch, so multi-device inference
-    keeps the scan too. Opt out: PEPPER_TPU_FUSED_RNN=0."""
-    if train_mode or os.environ.get("PEPPER_TPU_FUSED_RNN", "1") == "0":
+    a custom VJP (a residual-saving forward + reverse-time backward
+    kernel), so training may use it too. XLA's auto-partitioner can't
+    split a pallas_call over a sharded batch, so the default is
+    single-device only; multi-device callers run it per-shard under
+    shard_map and pass fused_rnn=True explicitly (runtime/streaming.py
+    DeviceRunner). Opt out: PEPPER_TPU_FUSED_RNN=0."""
+    if os.environ.get("PEPPER_TPU_FUSED_RNN", "1") == "0":
         return False
     return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
+def fused_rnn_for_mesh(mesh) -> bool:
+    """Fused-kernel decision for computations placed on an explicit mesh.
+
+    jax.default_backend() lies when the mesh devices differ from the
+    default platform (e.g. the multichip dry run builds a virtual CPU mesh
+    while a real 1-chip TPU is the default backend), so mesh-placed steps
+    must decide from the mesh's own devices: Pallas needs TPU, and the
+    auto-partitioner can't split a pallas_call over a sharded batch, so
+    only a 1-device TPU mesh qualifies (multi-device TPU callers use
+    shard_map and pass fused_rnn=True themselves — runtime/streaming.py)."""
+    if os.environ.get("PEPPER_TPU_FUSED_RNN", "1") == "0":
+        return False
+    devices = list(mesh.devices.flat)
+    return len(devices) == 1 and devices[0].platform == "tpu"
 
 
 def init_variant_params(key, image_features: int = ImageOptions.IMAGE_HEIGHT,
@@ -60,13 +79,24 @@ def _dropout(x, rate, key):
 
 
 def variant_forward(params: Params, x: jnp.ndarray, train_mode: bool = False,
-                    dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                    dropout_rng: Optional[jax.Array] = None,
+                    fused_rnn: Optional[bool] = None) -> jnp.ndarray:
     """x: [B, 33, F] float. Returns softmax probs [B,3] (or logits when
-    train_mode, matching the reference's train-time contract)."""
-    if _use_fused_rnn(train_mode):
-        from pepper_tpu.ops.fused_lstm import fused_bilstm
-        h = fused_bilstm(params["encoder"], x)
-        h = fused_bilstm(params["decoder"], h)
+    train_mode, matching the reference's train-time contract).
+
+    fused_rnn: None = auto (single-device TPU); True/False = explicit —
+    shard_map callers pass True so the Pallas kernel runs per shard."""
+    if fused_rnn is None:
+        fused_rnn = _use_fused_rnn(train_mode)
+    if fused_rnn:
+        if train_mode:
+            from pepper_tpu.ops.fused_lstm import fused_bilstm_train
+            h = fused_bilstm_train(params["encoder"], x)
+            h = fused_bilstm_train(params["decoder"], h)
+        else:
+            from pepper_tpu.ops.fused_lstm import fused_bilstm
+            h = fused_bilstm(params["encoder"], x)
+            h = fused_bilstm(params["decoder"], h)
     else:
         h = lstm(params["encoder"], x)
         h = lstm(params["decoder"], h)

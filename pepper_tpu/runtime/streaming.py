@@ -65,17 +65,37 @@ class DeviceRunner:
         params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype),
                                         params)
         if n_dev > 1:
+            # SPMD: batch sharded over the data mesh, params replicated.
+            # The forward runs under shard_map (not the auto-partitioner)
+            # so the Pallas fused biLSTM executes per shard on TPU pods —
+            # each device sees its own [B/n, 33, F] block, no collectives
+            # (the model is purely batch-parallel).
+            from jax.sharding import PartitionSpec as P
+
             mesh = data_mesh()
             params = replicate(mesh, params)
             self._place = lambda x: shard_batch(mesh, jnp.asarray(x))
+            # per-shard each device is alone, so the 1-device Pallas kernel
+            # applies — decide from the mesh's own platform, not the
+            # default backend (they differ in mixed-platform setups)
+            fused = (next(iter(mesh.devices.flat)).platform == "tpu"
+                     and os.environ.get("PEPPER_TPU_FUSED_RNN", "1") != "0")
+
+            def fwd_shard(p, x):
+                return variant_forward(
+                    p, x.astype(dtype), fused_rnn=fused).astype(jnp.float32)
+
+            fwd = jax.jit(jax.shard_map(
+                fwd_shard, mesh=mesh, in_specs=(P(), P("data")),
+                out_specs=P("data")))
         else:
             self._place = jnp.asarray
+
+            @jax.jit
+            def fwd(p, x):
+                return variant_forward(p, x.astype(dtype)).astype(jnp.float32)
+
         self._params = params
-
-        @jax.jit
-        def fwd(p, x):
-            return variant_forward(p, x.astype(dtype)).astype(jnp.float32)
-
         self._fwd = fwd
 
     def submit(self, images8: np.ndarray):

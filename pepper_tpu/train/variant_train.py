@@ -50,10 +50,14 @@ def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
         ))(learning_rate=1e-4)
 
 
-def make_train_step(optimizer: optax.GradientTransformation):
+def make_train_step(optimizer: optax.GradientTransformation,
+                    fused_rnn: Optional[bool] = None):
+    """fused_rnn: pass fused_rnn_for_mesh(mesh) when the step runs on an
+    explicit mesh — the auto decision reads the default backend, which may
+    not be the mesh's platform (see variant_model.fused_rnn_for_mesh)."""
     def loss_fn(params, images, labels, rng):
         logits = variant_forward(params, images, train_mode=True,
-                                 dropout_rng=rng)
+                                 dropout_rng=rng, fused_rnn=fused_rnn)
         return cross_entropy_sum(logits, labels)
 
     @jax.jit
@@ -166,7 +170,8 @@ def train(train_image_dir: str, test_image_dir: str, model_dir: str,
             opt_state = restored
             _log("OPTIMIZER STATE RESTORED")
     opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
-    step_fn = make_train_step(optimizer)
+    from pepper_tpu.models.variant_model import fused_rnn_for_mesh
+    step_fn = make_train_step(optimizer, fused_rnn=fused_rnn_for_mesh(mesh))
     scheduler = ReduceLROnPlateau(lr, patience=2, min_lr=0.75 * lr)
 
     # run-stamped stats artifacts (reference train_distributed.py:49-51)

@@ -8,8 +8,9 @@ import jax.numpy as jnp
 from pepper_tpu.models.rnn import init_rnn_params, lstm
 
 
-def _fused_interpret(params, x, block_b=8):
-    """Run the kernel in interpreter mode (CPU-safe numerics check)."""
+def _interpret_mode():
+    """Context: run fused_lstm's pallas_calls in interpreter mode
+    (CPU-safe numerics check)."""
     from unittest import mock
 
     from jax.experimental import pallas as pl
@@ -21,7 +22,12 @@ def _fused_interpret(params, x, block_b=8):
         kw["interpret"] = True
         return real_call(*args, **kw)
 
-    with mock.patch.object(fl.pl, "pallas_call", interp_call):
+    return mock.patch.object(fl.pl, "pallas_call", interp_call)
+
+
+def _fused_interpret(params, x, block_b=8):
+    import pepper_tpu.ops.fused_lstm as fl
+    with _interpret_mode():
         return fl.fused_bilstm.__wrapped__(params, x, block_b=block_b)
 
 
@@ -42,3 +48,40 @@ def test_fused_bilstm_pads_ragged_batch():
     got = _fused_interpret(p, x, block_b=8)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_fused_bilstm_train_forward_matches_scan():
+    from pepper_tpu.ops.fused_lstm import fused_bilstm_train
+    p = jax.tree_util.tree_map(
+        jnp.asarray, init_rnn_params(jax.random.PRNGKey(4), 10, 32, gates=4))
+    x = jax.random.normal(jax.random.PRNGKey(5), (6, 12, 10), jnp.float32)
+    want = lstm(p, x)
+    with _interpret_mode():
+        got = fused_bilstm_train(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_fused_bilstm_train_grads_match_scan():
+    """The Pallas BPTT backward must match autodiff through the scan —
+    grads wrt every param AND wrt x (layer stacking needs dx)."""
+    from pepper_tpu.ops.fused_lstm import fused_bilstm_train
+    p = jax.tree_util.tree_map(
+        jnp.asarray, init_rnn_params(jax.random.PRNGKey(6), 10, 32, gates=4))
+    x = jax.random.normal(jax.random.PRNGKey(7), (6, 12, 10), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(8), (6, 12, 64), jnp.float32)
+
+    def loss_scan(p, x):
+        return jnp.sum(lstm(p, x) * w)
+
+    def loss_fused(p, x):
+        return jnp.sum(fused_bilstm_train(p, x) * w)
+
+    want_p, want_x = jax.grad(loss_scan, argnums=(0, 1))(p, x)
+    with _interpret_mode():
+        got_p, got_x = jax.grad(loss_fused, argnums=(0, 1))(p, x)
+    for k in want_p:
+        np.testing.assert_allclose(np.asarray(got_p[k]),
+                                   np.asarray(want_p[k]),
+                                   atol=5e-4, rtol=1e-3, err_msg=k)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               atol=5e-4, rtol=1e-3)
