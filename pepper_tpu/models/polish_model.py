@@ -42,15 +42,25 @@ def init_hidden(batch_size: int, hidden: int = PolishTrainOptions.HIDDEN_SIZE,
     return jnp.zeros((batch_size, 2, hidden), dtype)
 
 
-def polish_forward(params: Params, x: jnp.ndarray,
-                   hidden: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def polish_forward(params: Params, x: jnp.ndarray, hidden: jnp.ndarray,
+                   fused_rnn: bool = False
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x: [B,T,F]; hidden: [B,2,H]. Returns (logits [B,T,C], hidden [B,2,H]).
 
     Encoder consumes the incoming hidden; its final hidden seeds the decoder
     (hidden_out -> decoder h0), and the decoder's final hidden is returned —
     exactly the reference's forward (simple_model.py:27-42).
+
+    fused_rnn=True routes both biGRU layers through the Pallas fused
+    kernel (ops/fused_gru.py, TPU only); numerics match rnn.gru.
     """
-    enc_out, enc_hidden = gru(params["gru_encoder"], x, hidden)
-    dec_out, dec_hidden = gru(params["gru_decoder"], enc_out, enc_hidden)
+    if fused_rnn:
+        from pepper_tpu.ops.fused_gru import fused_bigru
+        enc_out, enc_hidden = fused_bigru(params["gru_encoder"], x, hidden)
+        dec_out, dec_hidden = fused_bigru(params["gru_decoder"], enc_out,
+                                          enc_hidden)
+    else:
+        enc_out, enc_hidden = gru(params["gru_encoder"], x, hidden)
+        dec_out, dec_hidden = gru(params["gru_decoder"], enc_out, enc_hidden)
     logits = linear(params["dense1"], dec_out)
     return logits, dec_hidden

@@ -15,6 +15,7 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "src", "bamio.cpp"),
          os.path.join(_DIR, "src", "region_encode.cpp"),
+         os.path.join(_DIR, "src", "polish_encode.cpp"),
          os.path.join(_DIR, "src", "align.cpp")]
 _HDRS = [os.path.join(_DIR, "src", "bam_common.h")]
 _LIB = os.path.join(_DIR, "lib", "libbamio.so")

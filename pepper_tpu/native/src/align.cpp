@@ -193,4 +193,162 @@ int ssw_align_one(const char* ref, int32_t ref_len, const char* query,
                               out_ref_offset, out_ops, out_lens, cap);
 }
 
+// ---------------------------------------------------------------------------
+// k-mer seed fast pass (the role of the reference's k-mer-index read ->
+// haplotype matcher, pepper/modules/src/local_reassembly/aligner.h:152-190,
+// with striped SW only as fallback). Here:
+//   1. hash the window's k-mers (k=16, 2-bit packed, open addressing);
+//   2. vote read k-mers onto diagonals (ref_pos - read_pos);
+//   3. one dominant diagonal -> gapless Kadane extension; accepted when it
+//      covers >= 90% of the overlap with <= 12% mismatches (no-indel reads
+//      are the majority at ONT error rates — they skip the DP entirely);
+//   4. otherwise the seed diagonals bound the band: banded Gotoh runs with
+//      band = observed diagonal spread + margin instead of the caller's
+//      full band. Seed-less reads fall back to the caller's hint/band.
+// Identical contract to ssw_align_one_banded.
+
+namespace {
+
+constexpr int KK = 16, SEED_STRIDE = 8, MAX_VOTES = 512;
+
+inline int base2(char c) {
+  switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    default: return -1;
+  }
+}
+
+struct SeedScratch {
+  std::vector<uint64_t> key;   // table keys (kmer | occupied bit)
+  std::vector<int32_t> pos1, pos2;
+  std::vector<int32_t> votes;
+};
+thread_local SeedScratch g_seed;
+
+}  // namespace
+
+int ssw_align_one_auto(const char* ref, int32_t ref_len, const char* query,
+                       int32_t query_len, int32_t hint, int32_t band,
+                       int32_t* out_ref_offset, uint8_t* out_ops,
+                       int32_t* out_lens, int32_t cap) {
+  if (ref_len < 2 * KK || query_len < 2 * KK || band <= 0)
+    return ssw_align_one_banded(ref, ref_len, query, query_len, hint, band,
+                                out_ref_offset, out_ops, out_lens, cap);
+
+  // ---- index ref k-mers -------------------------------------------------
+  SeedScratch& s = g_seed;
+  uint32_t tbl = 64;
+  while ((int64_t)tbl < 2 * (int64_t)(ref_len - KK + 1)) tbl <<= 1;
+  const uint32_t mask = tbl - 1;
+  s.key.assign(tbl, 0);
+  s.pos1.assign(tbl, -1);
+  s.pos2.assign(tbl, -1);
+  uint64_t kmer = 0;
+  int run = 0;
+  constexpr uint64_t KMASK = (1ull << (2 * KK)) - 1;
+  for (int32_t j = 0; j < ref_len; j++) {
+    int b = base2(ref[j]);
+    if (b < 0) { run = 0; kmer = 0; continue; }
+    kmer = ((kmer << 2) | (uint64_t)b) & KMASK;
+    if (++run < KK) continue;
+    const uint64_t keyv = kmer | (1ull << 63);
+    uint32_t h = (uint32_t)((kmer * 0x9e3779b97f4a7c15ull) >> 40) & mask;
+    while (true) {
+      if (!s.key[h]) { s.key[h] = keyv; s.pos1[h] = j - KK + 1; break; }
+      if (s.key[h] == keyv) {
+        if (s.pos2[h] < 0) s.pos2[h] = j - KK + 1;
+        break;  // keep at most 2 occurrences (repeats vote ambiguously)
+      }
+      h = (h + 1) & mask;
+    }
+  }
+
+  // ---- vote read k-mers onto diagonals ----------------------------------
+  s.votes.clear();
+  kmer = 0; run = 0;
+  int next_sample = KK - 1;
+  for (int32_t i = 0; i < query_len; i++) {
+    int b = base2(query[i]);
+    if (b < 0) { run = 0; kmer = 0; continue; }
+    kmer = ((kmer << 2) | (uint64_t)b) & KMASK;
+    if (++run < KK || i < next_sample) continue;
+    next_sample = i + SEED_STRIDE;
+    const uint64_t keyv = kmer | (1ull << 63);
+    uint32_t h = (uint32_t)((kmer * 0x9e3779b97f4a7c15ull) >> 40) & mask;
+    while (s.key[h]) {
+      if (s.key[h] == keyv) {
+        const int32_t i0 = i - KK + 1;
+        s.votes.push_back(s.pos1[h] - i0);
+        if (s.pos2[h] >= 0 && s.votes.size() < MAX_VOTES)
+          s.votes.push_back(s.pos2[h] - i0);
+        break;
+      }
+      h = (h + 1) & mask;
+    }
+    if ((int)s.votes.size() >= MAX_VOTES) break;
+  }
+  if (s.votes.size() < 3)
+    return ssw_align_one_banded(ref, ref_len, query, query_len, hint, band,
+                                out_ref_offset, out_ops, out_lens, cap);
+
+  // ---- dominant diagonal ------------------------------------------------
+  std::sort(s.votes.begin(), s.votes.end());
+  int best_cnt = 1, cur = 1, mode = s.votes[0];
+  for (size_t v = 1; v < s.votes.size(); v++) {
+    cur = (s.votes[v] == s.votes[v - 1]) ? cur + 1 : 1;
+    if (cur > best_cnt) { best_cnt = cur; mode = s.votes[v]; }
+  }
+
+  if (best_cnt * 5 >= (int)s.votes.size() * 4) {
+    // single diagonal: gapless local extension (Kadane, +MATCH/-MISMATCH)
+    const int32_t d = mode;
+    const int32_t i_lo = std::max(0, -d);
+    const int32_t i_hi = std::min(query_len, ref_len - d);
+    int64_t sum = 0, best_sum = 0;
+    int32_t seg_start = i_lo, best_start = i_lo, best_end = i_lo;
+    int32_t mism = 0, best_mism = 0, seg_mism = 0;
+    for (int32_t i = i_lo; i < i_hi; i++) {
+      const bool m = query[i] == ref[i + d];
+      sum += m ? MATCH : -MISMATCH;
+      seg_mism += m ? 0 : 1;
+      if (sum <= 0) { sum = 0; seg_start = i + 1; seg_mism = 0; }
+      else if (sum > best_sum) {
+        best_sum = sum; best_start = seg_start; best_end = i + 1;
+        best_mism = seg_mism;
+      }
+    }
+    (void)mism;
+    const int32_t blen = best_end - best_start;
+    if (best_sum > 0 && blen * 10 >= (i_hi - i_lo) * 9 &&
+        best_mism * 100 <= blen * 12) {
+      int n = 0;
+      if (best_start > 0) {
+        if (n >= cap) return 0;
+        out_ops[n] = OP_S; out_lens[n] = best_start; n++;
+      }
+      if (n >= cap) return 0;
+      out_ops[n] = OP_M; out_lens[n] = blen; n++;
+      if (best_end < query_len) {
+        if (n >= cap) return 0;
+        out_ops[n] = OP_S; out_lens[n] = query_len - best_end; n++;
+      }
+      *out_ref_offset = best_start + d;
+      return n;
+    }
+  }
+
+  // ---- seeds bound the band: small-band DP around the seed diagonals ----
+  const int32_t d_lo = s.votes.front(), d_hi = s.votes.back();
+  const int32_t center = (d_lo + d_hi) / 2;
+  const int32_t small = std::min(band, (d_hi - d_lo) / 2 + 16);
+  int n = ssw_align_one_banded(ref, ref_len, query, query_len, center, small,
+                               out_ref_offset, out_ops, out_lens, cap);
+  if (n > 0) return n;
+  return ssw_align_one_banded(ref, ref_len, query, query_len, hint, band,
+                              out_ref_offset, out_ops, out_lens, cap);
+}
+
 }  // extern "C"

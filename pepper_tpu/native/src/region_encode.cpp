@@ -22,81 +22,8 @@
 namespace {
 
 using pep::TrimmedReadN;
+using pep::NumpyMT;
 
-// ------------------------------------------------------------- numpy MT19937
-struct NumpyMT {
-  uint32_t mt[624];
-  int mti = 625;
-
-  void init_genrand(uint32_t s) {
-    mt[0] = s;
-    for (mti = 1; mti < 624; mti++)
-      mt[mti] = 1812433253u * (mt[mti - 1] ^ (mt[mti - 1] >> 30)) + mti;
-  }
-
-  void init_by_array(const uint32_t* key, int key_length) {
-    init_genrand(19650218u);
-    int i = 1, j = 0;
-    int k = 624 > key_length ? 624 : key_length;
-    for (; k; k--) {
-      mt[i] = (mt[i] ^ ((mt[i - 1] ^ (mt[i - 1] >> 30)) * 1664525u))
-              + key[j] + j;
-      i++; j++;
-      if (i >= 624) { mt[0] = mt[623]; i = 1; }
-      if (j >= key_length) j = 0;
-    }
-    for (k = 623; k; k--) {
-      mt[i] = (mt[i] ^ ((mt[i - 1] ^ (mt[i - 1] >> 30)) * 1566083941u)) - i;
-      i++;
-      if (i >= 624) { mt[0] = mt[623]; i = 1; }
-    }
-    mt[0] = 0x80000000u;
-    mti = 624;
-  }
-
-  uint32_t next32() {
-    uint32_t y;
-    if (mti >= 624) {
-      for (int kk = 0; kk < 624 - 397; kk++) {
-        y = (mt[kk] & 0x80000000u) | (mt[kk + 1] & 0x7fffffffu);
-        mt[kk] = mt[kk + 397] ^ (y >> 1) ^ ((y & 1) ? 0x9908b0dfu : 0);
-      }
-      for (int kk = 624 - 397; kk < 623; kk++) {
-        y = (mt[kk] & 0x80000000u) | (mt[kk + 1] & 0x7fffffffu);
-        mt[kk] = mt[kk + (397 - 624)] ^ (y >> 1) ^ ((y & 1) ? 0x9908b0dfu : 0);
-      }
-      y = (mt[623] & 0x80000000u) | (mt[0] & 0x7fffffffu);
-      mt[623] = mt[396] ^ (y >> 1) ^ ((y & 1) ? 0x9908b0dfu : 0);
-      mti = 0;
-    }
-    y = mt[mti++];
-    y ^= (y >> 11);
-    y ^= (y << 7) & 0x9d2c5680u;
-    y ^= (y << 15) & 0xefc60000u;
-    y ^= (y >> 18);
-    return y;
-  }
-
-  // numpy random_bounded_uint64 (distributions.c): masked rejection; 32-bit
-  // draws when the range fits, 64-bit (hi-word-first) otherwise.
-  uint64_t bounded(uint64_t rng) {  // inclusive upper bound
-    if (rng == 0) return 0;
-    uint64_t mask = rng;
-    mask |= mask >> 1;  mask |= mask >> 2;  mask |= mask >> 4;
-    mask |= mask >> 8;  mask |= mask >> 16; mask |= mask >> 32;
-    if (rng <= 0xffffffffULL) {
-      while (true) {
-        uint64_t v = next32() & mask;
-        if (v <= rng) return v;
-      }
-    }
-    while (true) {
-      uint64_t hi = next32(), lo = next32();
-      uint64_t v = ((hi << 32) | lo) & mask;
-      if (v <= rng) return v;
-    }
-  }
-};
 
 // ---------------------------------------------------------------- constants
 constexpr int MAXV = 125, MINV = -125;

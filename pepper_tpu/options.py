@@ -48,6 +48,9 @@ class PolishImageOptions:
     TOTAL_LABELS = 5               # {*, A, C, G, T}
     MAX_COLOR_VALUE = 254
     MIN_IMAGE_OVERLAP = 100
+    # the polish package's own read cap (pepper/modules/python/Options.py:28
+    # — distinct from the variant side's 5000)
+    MAX_READS_IN_REGION = 1500
 
 
 class PolishTrainOptions:

@@ -70,10 +70,12 @@ def call_variant(config: PipelineConfig) -> dict:
         # file barrier (runtime/streaming.py); the chip never waits for the
         # full host encode. Replaces the staged file boundary of the
         # reference (CallVariant.py:84-104).
+        from pepper_tpu.pipelines.find_candidates import (
+            StreamingCandidateCollector, finalize_candidates)
         from pepper_tpu.pipelines.make_images import build_intervals
         from pepper_tpu.runtime.streaming import stream_inference
 
-        _log("STEP 1+2/3 STREAMING IMAGES INTO INFERENCE:")
+        _log("STEP 1+2+3/3 STREAMING IMAGES INTO INFERENCE AND CANDIDATES:")
         os.makedirs(prediction_dir, exist_ok=True)
         intervals = build_intervals(config)
         if multihost.host_count() > 1:
@@ -88,9 +90,19 @@ def call_variant(config: PipelineConfig) -> dict:
         prediction_path = prediction_dir + (
             f"pepper_predictions_{multihost.host_tag()}0.hdf"
             if multihost.host_count() > 1 else "pepper_predictions.hdf")
+        # stage 3 consumes prediction batches as they flush — the gates run
+        # on a collector thread behind the device; only the cross-host
+        # gather + VCF write remain after the stream drains
+        collector = StreamingCandidateCollector(config)
+        t3 = time.time()
         with stage("stream_encode_inference"):
             stream_inference(config, intervals, prediction_path,
-                             image_store_path)
+                             image_store_path,
+                             candidate_collector=collector)
+        margin_all, dv_all = collector.finish()
+        with stage("find_candidates"):
+            vcf_paths = finalize_candidates(config, output_dir,
+                                            margin_all, dv_all, t3)
     else:
         _log("STEP 1/3 GENERATING IMAGES:")
         config.image_output_directory = image_dir
@@ -101,9 +113,10 @@ def call_variant(config: PipelineConfig) -> dict:
         with stage("inference"):
             run_inference(config, image_dir, prediction_dir)
 
-    _log("STEP 3/3 FINDING CANDIDATES")
-    with stage("find_candidates"):
-        vcf_paths = process_candidates(config, prediction_dir, output_dir)
+        _log("STEP 3/3 FINDING CANDIDATES")
+        with stage("find_candidates"):
+            vcf_paths = process_candidates(config, prediction_dir,
+                                           output_dir)
 
     elapsed = time.time() - start_time
     _log(f"TOTAL ELAPSED TIME: {int(elapsed // 60)} Min {int(elapsed % 60)} Sec")

@@ -69,13 +69,26 @@ def _valid_allele(allele: str) -> bool:
 class _ContigSpanCache:
     """One FASTA fetch per (contig, batch position span) instead of three
     per candidate: candidates arrive batch-grouped and position-ordered, so
-    a single span read serves every up/downstream slice in the batch."""
+    a single span read serves every up/downstream slice in the batch.
+
+    On load the span also precomputes a prefix-sum of "position sits in a
+    homopolymer run of length >= REPEAT_LENGTH_THRESHOLD" so the per-site
+    repeat gate (CandidateFinder.py:393-416) is a vectorized two-gather
+    instead of a per-candidate 20-char Python scan. Equivalence: the
+    reference computes run lengths on the +/-10bp substring and checks
+    max over window [pos-5, pos+4); every run of length >= 5 that touches
+    the check window keeps a >= 5 segment inside the +/-10 window (the
+    window extends >= 5 past the check region on both sides), and windowed
+    runs never exceed full runs, so the >= 5 gate is identical computed on
+    the whole span."""
 
     def __init__(self, fasta: FastaReader):
         self._fasta = fasta
         self._contig: Optional[str] = None
         self._lo = 0
         self._seq = ""
+        self._arr = np.zeros(0, np.uint8)
+        self._ge5cum = np.zeros(1, np.int64)
 
     _AHEAD = 1 << 16   # over-fetch on miss: positions ascend within regions
 
@@ -87,6 +100,17 @@ class _ContigSpanCache:
         self._contig, self._lo = contig, lo
         self._seq = self._fasta.get_reference_sequence(
             contig, lo, max(hi, lo + self._AHEAD)).upper()
+        arr = np.frombuffer(self._seq.encode(), np.uint8)
+        self._arr = arr
+        if len(arr):
+            starts = np.flatnonzero(
+                np.concatenate(([True], arr[1:] != arr[:-1])))
+            lens = np.diff(np.append(starts, len(arr)))
+            ge5 = np.repeat(lens >= 5, lens)
+            self._ge5cum = np.concatenate(
+                ([0], np.cumsum(ge5, dtype=np.int64)))
+        else:
+            self._ge5cum = np.zeros(1, np.int64)
 
     def slice(self, lo: int, hi: int) -> str:
         """[lo, hi) clamped to the loaded span (contig-end truncation has
@@ -94,123 +118,223 @@ class _ContigSpanCache:
         lo = max(lo, self._lo)
         return self._seq[lo - self._lo:hi - self._lo]
 
+    def annotate(self, positions: np.ndarray):
+        """(ref_base_bytes, candidate_in_repeat) for each position; the
+        loaded span must cover [min-10, max+10)."""
+        off = positions - self._lo
+        n = len(self._arr)
+        refb = np.where(off < n, self._arr[np.minimum(off, n - 1)], 0) \
+            if n else np.zeros(len(off), np.uint8)
+        lo = np.clip(off - 5, 0, n)
+        hi = np.clip(off + 4, 0, n)
+        in_repeat = (self._ge5cum[hi] - self._ge5cum[lo]) > 0
+        return refb, in_repeat
+
+
+_ACGT_BYTES = frozenset(b"ACGT")
+
+
+def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
+                     contigs, positions, depths, cand_lists, freq_lists,
+                     preds, margin_list: list, deepvariant_list: list) -> None:
+    """Candidate gates for one prediction batch held in memory
+    (CandidateFinder.py:356-531). Appends to margin/deepvariant lists.
+
+    contigs: per-row contig names; positions/depths: int arrays;
+    cand_lists: per-row allele-string lists; freq_lists: per-row support
+    lists; preds: [N, 3] probability array."""
+    n = len(contigs)
+    if n == 0:
+        return
+    preds = np.asarray(preds)
+    all_genotypes = np.argmax(preds, axis=1).tolist()
+    all_values = preds[np.arange(n), all_genotypes].tolist()
+    all_non_alt = np.maximum(preds[:, 1], preds[:, 2]).tolist()
+    all_preds = preds.tolist()
+    positions = np.asarray(positions, np.int64)
+    all_positions = positions.tolist()
+    all_depths = np.asarray(depths).tolist()
+
+    # per-contig-run span annotation (a batch is almost always one contig)
+    ref_bytes = np.zeros(n, np.uint8)
+    in_repeat_arr = np.zeros(n, bool)
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and contigs[j] == contigs[i]:
+            j += 1
+        pos_grp = positions[i:j]
+        span.load(contigs[i], int(pos_grp.min()) - 10,
+                  int(pos_grp.max()) + 10)
+        ref_bytes[i:j], in_repeat_arr[i:j] = span.annotate(pos_grp)
+        i = j
+    valid = [b in _ACGT_BYTES for b in ref_bytes.tolist()]
+    in_repeats = in_repeat_arr.tolist()
+    ref_chars = ref_bytes.tobytes().decode("latin-1")
+
+    snp_p, snp_p_lc = config.snp_p_value, config.snp_p_value_in_lc
+    ins_p, ins_p_lc = config.insert_p_value, config.insert_p_value_in_lc
+    del_p, del_p_lc = config.delete_p_value, config.delete_p_value_in_lc
+    snp_freq, indel_freq = (config.report_snp_above_freq,
+                            config.report_indel_above_freq)
+
+    for i in range(n):
+        if not valid[i]:
+            continue
+        contig = contigs[i]
+        position = all_positions[i]
+        depth = all_depths[i]
+        cand_strings = cand_lists[i]
+        cand_freqs = freq_lists[i]
+        prediction_base = all_preds[i]
+        reference_base = ref_chars[i]
+        candidate_in_repeat = in_repeats[i]
+
+        predicted_genotype = all_genotypes[i]
+        genotype = ([0, 0], [0, 1], [1, 1])[predicted_genotype]
+        prediction_value = all_values[i]
+
+        # Margin list: SNPs only, non-hom-ref prediction
+        alt_alleles, support = [], []
+        for alt_allele, freq in zip(cand_strings, cand_freqs):
+            alt_type, allele = alt_allele[0], alt_allele[1:]
+            if not _valid_allele(allele):
+                continue
+            if alt_type == "1" and predicted_genotype != 0:
+                alt_alleles.append(allele)
+                support.append(freq)
+        if alt_alleles:
+            margin_list.append((
+                contig, position, position + 1, reference_base,
+                alt_alleles, genotype, depth, support,
+                prediction_value, prediction_base))
+
+        # DeepVariant list: per-type p-value gates + freq overrides
+        alt_alleles, support = [], []
+        reference_allele = reference_base
+        non_alt_predictions = []
+        for alt_allele, freq in zip(cand_strings, cand_freqs):
+            alt_type, allele = alt_allele[0], alt_allele[1:]
+            if not _valid_allele(allele):
+                continue
+            vaf = freq / depth if depth else 0.0
+            non_alt_prediction = all_non_alt[i]
+            non_alt_predictions.append(non_alt_prediction)
+            if alt_type == "1":
+                if (not candidate_in_repeat
+                        and non_alt_prediction >= snp_p):
+                    alt_alleles.append(allele); support.append(freq)
+                elif (candidate_in_repeat
+                      and non_alt_prediction >= snp_p_lc):
+                    alt_alleles.append(allele); support.append(freq)
+                elif 0 < snp_freq <= vaf:
+                    alt_alleles.append(allele); support.append(freq)
+            elif alt_type == "2":
+                if (not candidate_in_repeat
+                        and non_alt_prediction >= ins_p):
+                    alt_alleles.append(allele); support.append(freq)
+                elif (candidate_in_repeat
+                      and non_alt_prediction >= ins_p_lc):
+                    alt_alleles.append(allele); support.append(freq)
+                elif 0 < indel_freq <= vaf:
+                    alt_alleles.append(allele); support.append(freq)
+            elif alt_type == "3":
+                if (not candidate_in_repeat
+                        and non_alt_prediction >= del_p):
+                    alt_alleles.append(reference_allele)
+                    reference_allele = allele
+                    support.append(freq)
+                elif (candidate_in_repeat
+                      and non_alt_prediction >= del_p_lc):
+                    alt_alleles.append(reference_allele)
+                    reference_allele = allele
+                    support.append(freq)
+                elif 0 < indel_freq <= vaf:
+                    alt_alleles.append(allele); support.append(freq)
+        if alt_alleles:
+            deepvariant_list.append((
+                contig, position, position + len(reference_allele),
+                reference_allele, alt_alleles, genotype, depth, support,
+                prediction_value, prediction_base,
+                non_alt_predictions, candidate_in_repeat))
+
+
+def _batch_freq_lists(candidate_frequency, n_rows: int):
+    """Per-row support lists from a stored frequency field that is either
+    [N, A] (one row per candidate) or flat [N]."""
+    freq_rows = np.atleast_2d(np.asarray(candidate_frequency))
+    if freq_rows.shape[0] == n_rows:
+        return freq_rows.tolist()
+    return [[int(f)] for f in np.ravel(candidate_frequency).tolist()]
+
 
 def small_chunk_stitch(config: PipelineConfig,
                        file_chunks: List[Tuple[str, str]]):
     """Per-(file,batch) candidate selection (CandidateFinder.py:356-531)."""
     fasta = FastaReader(config.fasta)
     span = _ContigSpanCache(fasta)
-    margin_list = []
-    deepvariant_list = []
+    margin_list: list = []
+    deepvariant_list: list = []
     for file_name, batch_key in file_chunks:
         with PredictionStore(file_name, "r") as store:
             batch = store.read_batch(batch_key)
-        # vectorized per-row reductions + one bulk tolist(): touching numpy
-        # scalars per candidate dominated this stage
-        all_genotypes = np.argmax(batch.base_prediction, axis=1).tolist()
-        all_values = batch.base_prediction[
-            np.arange(len(all_genotypes)), all_genotypes].tolist()
-        all_non_alt = np.maximum(batch.base_prediction[:, 1],
-                                 batch.base_prediction[:, 2]).tolist()
-        all_preds = batch.base_prediction.tolist()
-        all_positions = np.asarray(batch.positions).tolist()
-        all_depths = np.asarray(batch.depths).tolist()
-        freq_rows = np.atleast_2d(np.asarray(batch.candidate_frequency))
-        all_freqs = (freq_rows.tolist() if freq_rows.shape[0] == len(all_preds)
-                     else [[int(f)] for f in np.ravel(
-                         batch.candidate_frequency).tolist()])
-        for i in range(len(batch.contigs)):
-            contig = batch.contigs[i]
-            position = all_positions[i]
-            depth = all_depths[i]
-            cand_strings = batch.candidates[i]
-            cand_freqs = all_freqs[i]
-            prediction_base = all_preds[i]
-
-            span.load(contig, position - 10, position + 10)
-            reference_base = span.slice(position, position + 1)
-            reference_upstream = span.slice(position, position + 10)
-            reference_downstream = span.slice(max(0, position - 10), position)
-            full_sequence = reference_downstream + reference_upstream
-
-            homopolymer_repeats = repeat_annotation(full_sequence, 1)
-            position_index = len(reference_downstream)
-            up = min(len(homopolymer_repeats), position_index + 4)
-            down = max(0, position_index - 5)
-            candidate_in_repeat = max(homopolymer_repeats[down:up]) >= 5
-
-            if reference_base not in "ACGT":
-                continue
-
-            predicted_genotype = all_genotypes[i]
-            genotype = ([0, 0], [0, 1], [1, 1])[predicted_genotype]
-            prediction_value = all_values[i]
-
-            # Margin list: SNPs only, non-hom-ref prediction
-            alt_alleles, support = [], []
-            for alt_allele, freq in zip(cand_strings, cand_freqs):
-                alt_type, allele = alt_allele[0], alt_allele[1:]
-                if not _valid_allele(allele):
-                    continue
-                if alt_type == "1" and predicted_genotype != 0:
-                    alt_alleles.append(allele)
-                    support.append(freq)
-            if alt_alleles:
-                margin_list.append((
-                    contig, position, position + 1, reference_base,
-                    alt_alleles, genotype, depth, support,
-                    prediction_value, prediction_base))
-
-            # DeepVariant list: per-type p-value gates + freq overrides
-            alt_alleles, support = [], []
-            reference_allele = reference_base
-            non_alt_predictions = []
-            for alt_allele, freq in zip(cand_strings, cand_freqs):
-                alt_type, allele = alt_allele[0], alt_allele[1:]
-                if not _valid_allele(allele):
-                    continue
-                vaf = freq / depth if depth else 0.0
-                non_alt_prediction = all_non_alt[i]
-                non_alt_predictions.append(non_alt_prediction)
-                if alt_type == "1":
-                    if (not candidate_in_repeat
-                            and non_alt_prediction >= config.snp_p_value):
-                        alt_alleles.append(allele); support.append(freq)
-                    elif (candidate_in_repeat
-                          and non_alt_prediction >= config.snp_p_value_in_lc):
-                        alt_alleles.append(allele); support.append(freq)
-                    elif 0 < config.report_snp_above_freq <= vaf:
-                        alt_alleles.append(allele); support.append(freq)
-                elif alt_type == "2":
-                    if (not candidate_in_repeat
-                            and non_alt_prediction >= config.insert_p_value):
-                        alt_alleles.append(allele); support.append(freq)
-                    elif (candidate_in_repeat
-                          and non_alt_prediction >= config.insert_p_value_in_lc):
-                        alt_alleles.append(allele); support.append(freq)
-                    elif 0 < config.report_indel_above_freq <= vaf:
-                        alt_alleles.append(allele); support.append(freq)
-                elif alt_type == "3":
-                    if (not candidate_in_repeat
-                            and non_alt_prediction >= config.delete_p_value):
-                        alt_alleles.append(reference_allele)
-                        reference_allele = allele
-                        support.append(freq)
-                    elif (candidate_in_repeat
-                          and non_alt_prediction >= config.delete_p_value_in_lc):
-                        alt_alleles.append(reference_allele)
-                        reference_allele = allele
-                        support.append(freq)
-                    elif 0 < config.report_indel_above_freq <= vaf:
-                        alt_alleles.append(allele); support.append(freq)
-            if alt_alleles:
-                deepvariant_list.append((
-                    contig, position, position + len(reference_allele),
-                    reference_allele, alt_alleles, genotype, depth, support,
-                    prediction_value, prediction_base,
-                    non_alt_predictions, candidate_in_repeat))
+        batch_candidates(
+            config, span, batch.contigs, batch.positions, batch.depths,
+            batch.candidates,
+            _batch_freq_lists(batch.candidate_frequency, len(batch.contigs)),
+            batch.base_prediction, margin_list, deepvariant_list)
     fasta.close()
     return margin_list, deepvariant_list
+
+
+class StreamingCandidateCollector:
+    """Stage-3 consumer running concurrently with the fused stage 1+2
+    stream: prediction batches are pushed as the streamer flushes them and
+    the candidate gates run on a worker thread while the chip and the
+    encode threads keep working — removing the stage-2 -> stage-3 barrier
+    that the reference's post-hoc pool has
+    (FindCandidates.py:156-190). finish() joins and returns the lists."""
+
+    def __init__(self, config: PipelineConfig):
+        import queue as _queue
+        import threading
+        self._config = config
+        self._queue: "_queue.Queue" = _queue.Queue(maxsize=8)
+        self._margin: list = []
+        self._dv: list = []
+        self._error: List[BaseException] = []
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        try:
+            fasta = FastaReader(self._config.fasta)
+            span = _ContigSpanCache(fasta)
+            while True:
+                item = self._queue.get()
+                if item is None:
+                    break
+                batch_candidates(self._config, span, *item,
+                                 self._margin, self._dv)
+            fasta.close()
+        except BaseException as exc:
+            self._error.append(exc)
+
+    def add(self, contigs, positions, depths, cand_lists, freq_lists,
+            preds) -> None:
+        if self._error:
+            raise RuntimeError("candidate collector failed") \
+                from self._error[0]
+        self._queue.put((contigs, positions, depths, cand_lists,
+                         freq_lists, preds))
+
+    def finish(self):
+        self._queue.put(None)
+        self._thread.join()
+        if self._error:
+            raise RuntimeError("candidate collector failed") \
+                from self._error[0]
+        return self._margin, self._dv
 
 
 def _chunks(pairs: List, size: int) -> List[List]:
@@ -288,6 +412,40 @@ def _log(msg: str) -> None:
     sys.stderr.flush()
 
 
+def finalize_candidates(config: PipelineConfig, output_dir: str,
+                        margin_all: list, dv_all: list,
+                        t0: float) -> Dict[str, str]:
+    """Gather across hosts, aggregate, write the 5-VCF set (host 0 only).
+    Shared tail of the staged stage-3 driver and the streamed collector
+    path (FindCandidates.candidate_finder + VcfWriter)."""
+    from pepper_tpu.parallel import multihost
+
+    os.makedirs(output_dir, exist_ok=True)
+    gathered = multihost.gather_candidate_lists(output_dir, margin_all,
+                                                dv_all)
+    if gathered is None:  # non-zero host: shard shipped, host 0 writes VCFs
+        _log(f"HOST {multihost.host_index()}: CANDIDATE SHARD COMPLETE "
+             f"[{time.time() - t0:.1f}s]")
+        return {}
+    contigs, _margin, dv_candidates = aggregate_candidates(*gathered)
+
+    with FastaReader(config.fasta) as fa:
+        fasta_contigs = [(name, fa.get_chromosome_sequence_length(name))
+                         for name in fa.get_chromosome_names()]
+    writer = VCFWriteEngine(fasta_contigs, config.sample_name,
+                            output_dir if output_dir.endswith("/")
+                            else output_dir + "/")
+    totals = writer.write_vcf_records(dv_candidates, config)
+    writer.close()
+    _log(f"TOTAL CANDIDATES FOUND: {totals[0]}")
+    _log(f"TOTAL VARIANTS IN PEPPER: {totals[1]}")
+    _log(f"TOTAL VARIANTS SELECTED FOR RE-GENOTYPING: {totals[2]}")
+    _log(f"TOTAL SNP VARIANTS SELECTED FOR RE-GENOTYPING: {totals[3]}")
+    _log(f"TOTAL INDEL VARIANTS SELECTED FOR RE-GENOTYPING: {totals[4]}")
+    _log(f"TOTAL TIME SPENT ON CANDIDATE FINDING: {time.time() - t0:.1f}s")
+    return writer.paths
+
+
 def process_candidates(config: PipelineConfig, input_dir: str,
                        output_dir: str,
                        shard_batches_by_host: bool = False) -> Dict[str, str]:
@@ -316,26 +474,4 @@ def process_candidates(config: PipelineConfig, input_dir: str,
         _log(f"HOST {multihost.host_index()}/{multihost.host_count()}: "
              f"{len(pairs)} PREDICTION BATCHES IN SHARD")
     margin_all, dv_all = collect_candidate_lists(config, pairs)
-    gathered = multihost.gather_candidate_lists(output_dir, margin_all,
-                                                dv_all)
-    if gathered is None:  # non-zero host: shard shipped, host 0 writes VCFs
-        _log(f"HOST {multihost.host_index()}: CANDIDATE SHARD COMPLETE "
-             f"[{time.time() - t0:.1f}s]")
-        return {}
-    contigs, _margin, dv_candidates = aggregate_candidates(*gathered)
-
-    with FastaReader(config.fasta) as fa:
-        fasta_contigs = [(name, fa.get_chromosome_sequence_length(name))
-                         for name in fa.get_chromosome_names()]
-    writer = VCFWriteEngine(fasta_contigs, config.sample_name,
-                            output_dir if output_dir.endswith("/")
-                            else output_dir + "/")
-    totals = writer.write_vcf_records(dv_candidates, config)
-    writer.close()
-    _log(f"TOTAL CANDIDATES FOUND: {totals[0]}")
-    _log(f"TOTAL VARIANTS IN PEPPER: {totals[1]}")
-    _log(f"TOTAL VARIANTS SELECTED FOR RE-GENOTYPING: {totals[2]}")
-    _log(f"TOTAL SNP VARIANTS SELECTED FOR RE-GENOTYPING: {totals[3]}")
-    _log(f"TOTAL INDEL VARIANTS SELECTED FOR RE-GENOTYPING: {totals[4]}")
-    _log(f"TOTAL TIME SPENT ON CANDIDATE FINDING: {time.time() - t0:.1f}s")
-    return writer.paths
+    return finalize_candidates(config, output_dir, margin_all, dv_all, t0)

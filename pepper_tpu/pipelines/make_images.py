@@ -120,10 +120,11 @@ def build_intervals(config: PipelineConfig
     return intervals
 
 
-def reservoir_downsample(reads: list, downsample_rate: float) -> list:
+def reservoir_downsample(reads: list, downsample_rate: float,
+                         max_reads: int = AlignerOptions.MAX_READS_IN_REGION
+                         ) -> list:
     """Fixed-seed reservoir sample (AlignmentSummarizer.py:195-208)."""
-    total_allowed = int(min(AlignerOptions.MAX_READS_IN_REGION,
-                            downsample_rate * len(reads)))
+    total_allowed = int(min(max_reads, downsample_rate * len(reads)))
     if len(reads) <= total_allowed:
         return reads
     random = np.random.RandomState(AlignerOptions.RANDOM_SEED)
@@ -312,7 +313,11 @@ def generate_images(config: PipelineConfig) -> str:
     if config.threads <= 1:
         _worker(config, intervals, bed_list, 0)
     else:
-        with concurrent.futures.ProcessPoolExecutor(
+        # share-nothing threads, not fork: the C++ encoder releases the GIL
+        # so threads parallelize the hot walk, and fork after JAX init is a
+        # deadlock risk at scale (JAX is multithreaded by the time stage 1
+        # runs under the fused driver)
+        with concurrent.futures.ThreadPoolExecutor(
                 max_workers=config.threads) as pool:
             futures = [pool.submit(_worker, config, intervals, bed_list, pid)
                        for pid in range(config.threads)]

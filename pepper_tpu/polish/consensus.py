@@ -55,6 +55,10 @@ def make_window_vote_fn(params):
     cdtype = jnp.bfloat16 if use_bf16 else jnp.float32
     cparams = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, cdtype), params)
+    # TPU: both biGRU layers run the Pallas fused kernel per window — the
+    # 100-step recurrence becomes a pipelined grid instead of a scan
+    fused = (jax.devices()[0].platform == "tpu"
+             and os.environ.get("PEPPER_TPU_FUSED_RNN", "1") != "0")
 
     starts = np.arange(0, seq_len - window + 1, jump)
 
@@ -65,7 +69,8 @@ def make_window_vote_fn(params):
         def step(carry, start):
             votes, hidden = carry
             chunk = jax.lax.dynamic_slice_in_dim(x, start, window, axis=1)
-            logits, hidden = polish_forward(p, chunk, hidden)
+            logits, hidden = polish_forward(p, chunk, hidden,
+                                            fused_rnn=fused)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=2)
             seg = jax.lax.dynamic_slice_in_dim(votes, start, window, axis=1)
             votes = jax.lax.dynamic_update_slice_in_dim(

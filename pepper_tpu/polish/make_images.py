@@ -104,6 +104,26 @@ def create_polish_summary(bam: BamReader, fasta: FastaReader,
     all_images, all_labels, all_positions, all_chunk_ids = [], [], [], []
     seq_len = PolishImageOptions.SEQ_LENGTH
     seq_overlap = PolishImageOptions.SEQ_OVERLAP
+    max_reads = PolishImageOptions.MAX_READS_IN_REGION
+
+    if not train_mode and not os.environ.get("PEPPER_TPU_NO_NATIVE"):
+        # fused native path: fetch + downsample + realign + pileup run in
+        # one C++ call with the GIL released (polish_encode.cpp); the
+        # Python branch below stays as the tested oracle
+        from pepper_tpu.native import polish_encoder
+        if polish_encoder.available():
+            from pepper_tpu.polish.summary import chunk_expanded_arrays
+            ref_end = region_end + AlignerOptions.ALIGNMENT_SAFE_BASES
+            realign_ref = fasta.get_reference_sequence(
+                chromosome, region_start, ref_end)
+            result = polish_encoder.polish_encode_native(
+                bam, chromosome, region_start, region_end, realign_ref,
+                realignment_flag, max_reads=max_reads)
+            if result is None:
+                return [], [], [], []
+            image, positions, indices = result
+            return chunk_expanded_arrays(image, positions, indices,
+                                         seq_len, seq_overlap)
 
     def realigned(reads, start, end):
         if not realignment_flag or not reads:
@@ -130,7 +150,8 @@ def create_polish_summary(bam: BamReader, fasta: FastaReader,
                                   False, 0, 0)
             if not reads:
                 continue
-            reads = reservoir_downsample(reads, downsample_rate)
+            reads = reservoir_downsample(reads, downsample_rate,
+                                         max_reads=max_reads)
             reads = realigned(reads, t_start, t_end)
             summary = PolishSummary(ref_seq, chromosome, t_start, t_end)
             summary.generate_train_summary(reads, t_start, t_end, truth_read)
@@ -145,7 +166,7 @@ def create_polish_summary(bam: BamReader, fasta: FastaReader,
                               False, 0, 0)
         if not reads:
             return [], [], [], []
-        reads = reservoir_downsample(reads, 1.0)
+        reads = reservoir_downsample(reads, 1.0, max_reads=max_reads)
         reads = realigned(reads, region_start, region_end)
         ref_seq = fasta.get_reference_sequence(chromosome, region_start,
                                                region_end + 1)
@@ -178,7 +199,11 @@ def _worker(args, all_intervals, total_threads: int, thread_id: int) -> int:
                     downsample_rate, realignment_flag)
                 region = (chr_name, start, end)
                 for i, image in enumerate(images):
-                    position, index = zip(*positions[i])
+                    pos_i = positions[i]
+                    if isinstance(pos_i, np.ndarray):  # native-path arrays
+                        position, index = pos_i[:, 0], pos_i[:, 1]
+                    else:
+                        position, index = zip(*pos_i)
                     name = f"{chr_name}_{start}_{end}_{chunk_ids[i]}"
                     store.write_summary(region, image, labels[i], position,
                                         index, chunk_ids[i], name)
@@ -203,7 +228,10 @@ def generate_polish_images(bam_file: str, draft_file: str, output_dir: str,
     if threads <= 1:
         _worker(args, intervals, 1, 0)
     else:
-        with concurrent.futures.ProcessPoolExecutor(max_workers=threads) as pool:
+        # share-nothing threads, not fork: the fused native encoder
+        # (polish_encode.cpp) releases the GIL for the whole
+        # fetch+realign+pileup, and fork after JAX init risks deadlock
+        with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
             futures = [pool.submit(_worker, args, intervals, threads, tid)
                        for tid in range(threads)]
             for fut in concurrent.futures.as_completed(futures):

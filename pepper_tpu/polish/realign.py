@@ -46,6 +46,9 @@ def _lib():
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+            lib.ssw_align_one_auto.restype = ctypes.c_int
+            lib.ssw_align_one_auto.argtypes = \
+                lib.ssw_align_one_banded.argtypes
             _bound = True
     return lib
 
@@ -72,10 +75,12 @@ def align_reads_to_reference(reads: List[TrimmedRead], ref_seq: str,
         hint = read.pos - ref_start
         seq_b = read.sequence.encode()
         n = 0
-        # fast path: banded around the BAM anchor — unless the anchor is
-        # nonsense (outside the window), where only the full DP can help
+        # fast path: k-mer seeded (gapless accept or seed-bounded band,
+        # align.cpp ssw_align_one_auto) around the BAM anchor — unless the
+        # anchor is nonsense (outside the window), where only the full DP
+        # can help
         if band > 0 and -len(seq_b) <= hint <= len(ref_b):
-            n = lib.ssw_align_one_banded(
+            n = lib.ssw_align_one_auto(
                 ref_b, len(ref_b), seq_b, len(seq_b),
                 hint, band, ctypes.byref(ref_off), ops, lens, cap)
         if n <= 0:  # fallback: full matrix (reference's anchor-free SW)

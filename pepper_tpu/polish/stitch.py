@@ -32,27 +32,46 @@ def natural_key(s: str):
     return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
 
 
+_DECODE = np.frombuffer(b"\x00ACGT", np.uint8)  # label -> base byte, 0 drops
+
+
 def small_chunk_stitch(contig: str,
                        chunk_keys: List[Tuple[str, str, int, int]]):
-    """Stitch.py:36-94: (pos,index)-keyed de-dup with overlap-buffer skip."""
-    base_prediction: Dict[Tuple[int, int], int] = {}
+    """Stitch.py:36-94: (pos,index)-keyed de-dup with overlap-buffer skip.
+
+    Vectorized: the reference's per-base dict insert (last chunk wins per
+    (pos, index) key) becomes filter -> stable lexsort -> last-of-group
+    selection, so stitching a contig is numpy throughput instead of a
+    Python loop (and needs no process pool)."""
     buffer_positions = PolishImageOptions.MIN_IMAGE_OVERLAP * 2
+    pos_parts, idx_parts, base_parts = [], [], []
     for file_name, chunk_key, _st, _end in chunk_keys:
         with PolishPredictionStore(file_name, "r") as store:
             for bases, positions, indices in store.read_chunks(contig,
                                                                chunk_key):
-                for pos, indx, base in zip(positions.tolist(),
-                                           indices.tolist(), bases.tolist()):
-                    if _st > 0 and pos <= _st + buffer_positions:
-                        continue
-                    if indx < 0 or pos < 0:
-                        continue
-                    base_prediction[(pos, indx)] = base
-    if not base_prediction:
+                positions = np.asarray(positions, np.int64)
+                indices = np.asarray(indices, np.int64)
+                bases = np.asarray(bases, np.int64)
+                mask = (indices >= 0) & (positions >= 0)
+                if _st > 0:
+                    mask &= positions > _st + buffer_positions
+                if mask.any():
+                    pos_parts.append(positions[mask])
+                    idx_parts.append(indices[mask])
+                    base_parts.append(bases[mask])
+    if not pos_parts:
         return -1, -1, ""
-    pos_list = sorted(base_prediction)
-    sequence = "".join(LABEL_DECODER[base_prediction[k]] for k in pos_list)
-    return pos_list[0][0], pos_list[-1][0], sequence
+    pos = np.concatenate(pos_parts)
+    idx = np.concatenate(idx_parts)
+    base = np.concatenate(base_parts)
+    order = np.lexsort((idx, pos))  # stable: ties keep arrival order
+    sp, si, sb = pos[order], idx[order], base[order]
+    last = np.empty(len(sp), bool)  # last write per key == dict overwrite
+    last[-1] = True
+    np.logical_or(sp[1:] != sp[:-1], si[1:] != si[:-1], out=last[:-1])
+    kept = sb[last]
+    sequence = _DECODE[kept[kept != 0]].tobytes().decode()
+    return int(sp[0]), int(sp[-1]), sequence
 
 
 def create_consensus_sequence(contig: str, chunk_keys, threads: int,
@@ -61,11 +80,14 @@ def create_consensus_sequence(contig: str, chunk_keys, threads: int,
     alignment (StitchV2 parity, polish/stitch_v2.py)."""
     chunk_keys = sorted(chunk_keys, key=lambda e: (e[2], e[3]))
     if threads > 1 and len(chunk_keys) > 2:
+        # threads, not fork: small_chunk_stitch is numpy-vectorized (h5py
+        # and numpy release the GIL on the bulk work) and fork after JAX
+        # init risks deadlock
         size = max(2, len(chunk_keys) // threads + 1)
         pieces = [chunk_keys[i:i + size]
                   for i in range(0, len(chunk_keys), size)]
         results = []
-        with concurrent.futures.ProcessPoolExecutor(max_workers=threads) as pool:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
             futures = [pool.submit(small_chunk_stitch, contig, p)
                        for p in pieces]
             for fut in concurrent.futures.as_completed(futures):

@@ -227,6 +227,42 @@ class PolishSummary:
 
 
 # ------------------------------------------------------------- chunking
+def chunk_expanded_arrays(image: np.ndarray, positions: np.ndarray,
+                          indices: np.ndarray, chunk_size: int,
+                          chunk_overlap: int):
+    """Array-backed twin of chunk_images for the native encoder's output
+    (image [P,10] uint8, positions [P] int64, indices [P] int32). Returns
+    (images, labels, pos_idx, chunk_ids) where each pos_idx entry is an
+    int64 [chunk_size, 2] array of (position, insert_index) rows — the
+    same values chunk_images emits as tuple lists, padding included.
+    tests/test_polish_native.py asserts equality against the oracle."""
+    n = len(positions)
+    chunk_start, chunk_id = 0, 0
+    chunk_end = min(n, chunk_size)
+    images, labels, pos_idx, chunk_ids = [], [], [], []
+    while True:
+        img = image[chunk_start:chunk_end]
+        pi = np.stack([positions[chunk_start:chunk_end].astype(np.int64),
+                       indices[chunk_start:chunk_end].astype(np.int64)],
+                      axis=1)
+        padding = chunk_size - (chunk_end - chunk_start)
+        if padding > 0:
+            img = np.concatenate(
+                [img, np.zeros((padding, image.shape[1]), image.dtype)])
+            pi = np.concatenate(
+                [pi, np.full((padding, 2), -1, np.int64)])
+        images.append(img)
+        labels.append(np.zeros(chunk_size, np.int64))
+        pos_idx.append(pi)
+        chunk_ids.append(chunk_id)
+        chunk_id += 1
+        if chunk_end == n:
+            break
+        chunk_start = chunk_end - chunk_overlap
+        chunk_end = min(n, chunk_start + chunk_size)
+    return images, labels, pos_idx, chunk_ids
+
+
 def chunk_images(summary: PolishSummary, chunk_size: int, chunk_overlap: int):
     """AlignmentSummarizer.chunk_images (pepper/.../AlignmentSummarizer.py:19-56)."""
     chunk_start = 0

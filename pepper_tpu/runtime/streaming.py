@@ -193,9 +193,15 @@ def _batch_fields(result):
 
 def stream_inference(config: PipelineConfig, intervals,
                      prediction_path: str,
-                     image_store_path: Optional[str] = None) -> int:
+                     image_store_path: Optional[str] = None,
+                     candidate_collector=None) -> int:
     """Encode `intervals` and run model inference concurrently; writes
-    prediction batches to `prediction_path`. Returns candidate count."""
+    prediction batches to `prediction_path`. Returns candidate count.
+
+    candidate_collector: optional StreamingCandidateCollector — each
+    flushed prediction batch is also pushed there, so stage 3's gates run
+    behind the device instead of after the whole stream (the last stage
+    barrier removed)."""
     from pepper_tpu.io.bam_reader import BamReader
     from pepper_tpu.io.fasta import FastaReader
     from pepper_tpu.pipelines.make_images import create_region_summary
@@ -250,9 +256,13 @@ def stream_inference(config: PipelineConfig, intervals,
         nonlocal batch_no
         contigs, positions, depths, cand_lists, freqs, _ = meta
         n = len(contigs)
+        probs_np = np.asarray(probs)[:n].astype(np.float64)
         store.write_prediction(batch_no, contigs, positions, depths,
-                               cand_lists, freqs,
-                               np.asarray(probs)[:n].astype(np.float64))
+                               cand_lists, freqs, probs_np)
+        if candidate_collector is not None:
+            candidate_collector.add(
+                contigs, positions, depths, cand_lists,
+                [[int(f)] for f in np.ravel(freqs).tolist()], probs_np)
         batch_no += 1
 
     while done_sentinels < n_threads:

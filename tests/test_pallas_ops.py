@@ -85,3 +85,75 @@ def test_fused_bilstm_train_grads_match_scan():
                                    atol=5e-4, rtol=1e-3, err_msg=k)
     np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
                                atol=5e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------- fused GRU
+def _gru_interpret(params, x, h0, block_b=8):
+    from unittest import mock
+
+    import pepper_tpu.ops.fused_gru as fg
+    real_call = fg.pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return real_call(*args, **kw)
+
+    with mock.patch.object(fg.pl, "pallas_call", interp_call):
+        return fg.fused_bigru.__wrapped__(params, x, h0, block_b=block_b)
+
+
+def test_fused_bigru_matches_scan_interpret():
+    from pepper_tpu.models.rnn import gru
+    p = jax.tree_util.tree_map(
+        jnp.asarray, init_rnn_params(jax.random.PRNGKey(3), 10, 128,
+                                     gates=3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (8, 100, 10), jnp.float32)
+    h0 = jax.random.normal(jax.random.PRNGKey(5), (8, 2, 128), jnp.float32)
+    want_out, want_h = gru(p, x, h0)
+    got_out, got_h = _gru_interpret(p, x, h0)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               atol=2e-4)
+
+
+def test_fused_bigru_batch_padding():
+    from pepper_tpu.models.rnn import gru
+    p = jax.tree_util.tree_map(
+        jnp.asarray, init_rnn_params(jax.random.PRNGKey(6), 10, 64,
+                                     gates=3))
+    x = jax.random.normal(jax.random.PRNGKey(7), (5, 40, 10), jnp.float32)
+    h0 = jnp.zeros((5, 2, 64), jnp.float32)
+    want_out, want_h = gru(p, x, h0)
+    got_out, got_h = _gru_interpret(p, x, h0, block_b=8)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               atol=2e-4)
+
+
+def test_polish_forward_fused_matches_reference_path():
+    """polish_forward(fused_rnn=True) must match the scan path through the
+    full 2-layer encoder/decoder + linear head (window-carry contract)."""
+    from unittest import mock
+
+    import pepper_tpu.ops.fused_gru as fg
+    from pepper_tpu.models.polish_model import (init_polish_params,
+                                                polish_forward)
+    real_call = fg.pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return real_call(*args, **kw)
+
+    p = jax.tree_util.tree_map(
+        jnp.asarray, init_polish_params(jax.random.PRNGKey(8)))
+    x = jax.random.normal(jax.random.PRNGKey(9), (8, 100, 10), jnp.float32)
+    h0 = jax.random.normal(jax.random.PRNGKey(10), (8, 2, 128), jnp.float32)
+    want_logits, want_h = polish_forward(p, x, h0)
+    with mock.patch.object(fg.pl, "pallas_call", interp_call):
+        got_logits, got_h = polish_forward(p, x, h0, fused_rnn=True)
+    np.testing.assert_allclose(np.asarray(got_logits),
+                               np.asarray(want_logits), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               atol=5e-4)

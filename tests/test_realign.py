@@ -52,3 +52,54 @@ def test_realign_no_alignment_keeps_original():
     read = mk_read(7, "TTTT", [(OP_M, 4)])
     out = realign.align_reads_to_reference([read], "CCCCCCCC", 0)[0]
     assert out.pos == 7  # kept as-is
+
+
+def test_fast_pass_matches_dp_quality_on_noisy_reads():
+    """The k-mer fast pass (ssw_align_one_auto) must score within the
+    affine-gap model no worse than the full banded DP on reads carrying
+    substitutions AND indels (the seed-bounded-band path)."""
+    import numpy as np
+    from tests.util.synth import random_genome
+
+    rng = np.random.RandomState(17)
+    ref = random_genome(1200, seed=18)[0][1]
+    bases = "ACGT"
+
+    def score(read, out):
+        # affine-gap score of the produced alignment
+        s, qi, rp = 0, 0, out.pos
+        for op, length in out.cigar_tuples:
+            if op == 0:
+                for k in range(length):
+                    s += 4 if read[qi + k] == ref[rp + k] else -6
+                qi += length
+                rp += length
+            elif op == 1:
+                s -= 8 + 2 * (length - 1)
+                qi += length
+            elif op == 2:
+                s -= 8 + 2 * (length - 1)
+                rp += length
+            elif op == 4:
+                qi += length
+        return s
+
+    for trial in range(25):
+        lo = int(rng.randint(0, 500))
+        seq = list(ref[lo:lo + 500])
+        for j in range(len(seq) - 1, -1, -1):
+            r = rng.rand()
+            if r < 0.04:
+                seq[j] = bases[rng.randint(4)]
+            elif r < 0.05:
+                seq.insert(j, bases[rng.randint(4)])
+            elif r < 0.06:
+                del seq[j]
+        seq = "".join(seq)
+        read = mk_read(lo, seq, [(OP_M, len(seq))], name=f"t{trial}")
+        fast = realign.align_reads_to_reference([read], ref, 0,
+                                                band=128)[0]
+        slow = realign.align_reads_to_reference([read], ref, 0, band=0)[0]
+        # the fast pass may pick a different (gapless or small-band) path,
+        # but must not be meaningfully worse than the full DP optimum
+        assert score(seq, fast) >= 0.9 * score(seq, slow), trial
