@@ -160,12 +160,18 @@ def tpu_inference_only(images):
     pad = (-len(x)) % device_batch
     if pad:
         x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], np.int8)])
+    flops_per_window = None
+    try:  # XLA's own FLOP count for the compiled forward
+        compiled = fwd.lower(params, jnp.asarray(x[:device_batch])).compile()
+        flops_per_window = compiled.cost_analysis()["flops"] / device_batch
+    except Exception:
+        pass
     jax.block_until_ready(fwd(params, jnp.asarray(x[:device_batch])))
     t0 = time.time()
     outs = [fwd(params, jnp.asarray(x[lo:lo + device_batch]))
             for lo in range(0, len(x), device_batch)]
     jax.block_until_ready(outs)
-    return time.time() - t0, jax.devices()[0].platform
+    return time.time() - t0, jax.devices()[0].platform, flops_per_window
 
 
 def torch_cpu_inference(images):
@@ -194,7 +200,6 @@ def bench_polish(n_threads):
     import jax
     from pepper_tpu.models.checkpoint import save_checkpoint
     from pepper_tpu.models.polish_model import init_polish_params
-    from pepper_tpu.polish.pipeline import polish
     from tests.util.synth import (plant_variants, random_genome,
                                   simulate_reads_fast, write_dataset)
 
@@ -216,11 +221,54 @@ def bench_polish(n_threads):
         save_checkpoint(model, jax.tree_util.tree_map(np.asarray, params), {})
     out = cache + "/out"
     shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    from pepper_tpu.polish.consensus import call_consensus
+    from pepper_tpu.polish.datastore import PolishImageStore
+    from pepper_tpu.polish.make_images import generate_polish_images
+    from pepper_tpu.polish.stitch import perform_stitch
+
     t0 = time.time()
-    polish(cache + "/reads.bam", cache + "/ref.fa", model, out,
-           threads=n_threads)
-    dt = time.time() - t0
-    return size / 1e6 / dt, dt
+    image_dir = out + "/images"
+    generate_polish_images(cache + "/reads.bam", cache + "/ref.fa",
+                           image_dir, threads=n_threads)
+    t_img = time.time() - t0
+    t0 = time.time()
+    pred_dir = out + "/preds"
+    call_consensus(image_dir, model, pred_dir)
+    t_cons = time.time() - t0
+    t0 = time.time()
+    perform_stitch(pred_dir, out + "/polished", threads=n_threads)
+    t_stitch = time.time() - t0
+
+    import glob
+    n_seqs = 0
+    for path in glob.glob(image_dir + "/*.hdf"):
+        with PolishImageStore(path, "r") as store:
+            n_seqs += len(store.summary_names())
+    dt = t_img + t_cons + t_stitch
+    return size / 1e6 / dt, (t_img, t_cons, t_stitch), n_seqs
+
+
+def torch_polish_window_inference(n_seqs):
+    """The reference's polish consensus per-caller cost: 1-thread torch,
+    19 sliding windows with hidden carry + softmax vote per 1000-length
+    sequence (predict_distributed_cpu.py:43-81), timed on a subset and
+    scaled to all sequences."""
+    import torch
+    torch.set_num_threads(1)
+    from tests.test_models import TorchPolishModel
+    model = TorchPolishModel().eval()
+    sample = max(1, min(n_seqs, 128))
+    x = torch.rand(sample, 1000, 10)
+    with torch.no_grad():
+        model(x[:, :100], torch.zeros(sample, 2, 128))  # warmup
+        t0 = time.time()
+        hidden = torch.zeros(sample, 2, 128)
+        for s in range(0, 901, 50):
+            out, hidden = model(x[:, s:s + 100], hidden)
+            torch.nn.functional.softmax(out, dim=2)
+        dt = time.time() - t0
+    return dt * n_seqs / sample
 
 
 def bench_realigner():
@@ -274,9 +322,17 @@ def main():
         f"{len(images)} candidate windows")
 
     # ---- device ceiling --------------------------------------------------
-    t_dev, platform = tpu_inference_only(images)
+    t_dev, platform, flops_w = tpu_inference_only(images)
+    windows_s = len(images) / max(t_dev, 1e-9)
     log(f"device inference ({platform}): {t_dev:.3f}s "
-        f"({len(images) / max(t_dev, 1e-9):.0f} windows/s)")
+        f"({windows_s:.0f} windows/s)")
+    if flops_w and platform == "tpu":
+        # v5e peak ~197 bf16 TFLOP/s: how far the RNN forward sits from
+        # speed-of-light on this chip (it is bandwidth/latency-bound, so
+        # this tracks the gap, not a target of 100%)
+        util = windows_s * flops_w / 197e12
+        log(f"chip utilization: {flops_w / 1e6:.1f} MFLOP/window x "
+            f"{windows_s:.0f}/s = {100 * util:.1f}% of v5e bf16 peak")
 
     # ---- full pipeline, streamed (warm pass then best of 2) -------------
     bench_e2e(cache, fasta, bam, ncpu)  # compile + page warmup
@@ -315,9 +371,25 @@ def main():
 
     # ---- polish workload --------------------------------------------------
     try:
-        polish_mbps, polish_dt = bench_polish(ncpu)
-        log(f"polish e2e (images+consensus+stitch, 100kb draft): "
-            f"{polish_dt:.1f}s -> {polish_mbps:.3f} Mbp/s")
+        _, cold_split, _ = bench_polish(ncpu)        # cold: includes compile
+        polish_mbps, split, n_seqs = bench_polish(ncpu)  # warm
+        t_img, t_cons, t_stitch = split
+        polish_dt = sum(split)
+        cold_dt = sum(cold_split)
+        log(f"polish e2e (100kb draft): {polish_dt:.1f}s warm "
+            f"(images {t_img:.1f}s + consensus {t_cons:.1f}s + stitch "
+            f"{t_stitch:.1f}s) / {cold_dt:.1f}s cold (compile+load "
+            f"{cold_dt - polish_dt:.1f}s) -> {polish_mbps:.3f} Mbp/s "
+            f"({n_seqs} sequences)")
+        # reference-style polish deployment on this host: same (native)
+        # image gen + stitch, consensus = N 1-thread torch window loops
+        t_torch_polish = torch_polish_window_inference(n_seqs)
+        t_ref_polish = t_img + t_stitch + t_torch_polish / ncpu
+        polish_vs = t_ref_polish / polish_dt
+        log(f"torch-cpu polish window loop: {t_torch_polish:.1f}s 1-thread; "
+            f"emulated {ncpu}-caller consensus {t_torch_polish / ncpu:.1f}s "
+            f"-> polish vs_baseline {polish_vs:.2f}x (ref-style e2e "
+            f"{0.1 / t_ref_polish:.3f} Mbp/s)")
     except Exception as exc:
         log(f"polish bench failed: {exc}")
 

@@ -275,6 +275,11 @@ def stream_inference(config: PipelineConfig, intervals,
             name = (f"{contig}_{int(positions[0])}_{int(positions[-1])}"
                     f"_{batch_no}_{total}")
             from pepper_tpu.encode.region_encoder import CandidateBatch
+            # the kept-image artifact stores one allele per row; lossless
+            # because the encoder emits exactly one allele per candidate
+            # row (region_encoder.py:73,391) — fail loudly if that changes
+            assert all(len(c) == 1 for c in cand_lists), \
+                "streamed image artifact assumes one allele per row"
             image_store.write_summary(name, CandidateBatch(
                 contig, positions, depths,
                 [c[0] for c in cand_lists], freqs, images8,

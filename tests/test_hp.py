@@ -131,3 +131,56 @@ def test_hp_pipeline_end_to_end_dry(tmp_path):
               if (v.contig, v.pos) not in by_pos
               or v.alt not in by_pos[(v.contig, v.pos)].alts]
     assert not missed, missed
+
+
+@pytest.mark.slow
+def test_hp_pipeline_real_model_e2e(tmp_path):
+    """Non-dry HP run: a small 48-feature model trained on HP images runs
+    the full pipeline through DeviceRunner (feature width 48, bf16/padding
+    branches) and must recall the planted SNPs — the reference's
+    first-class second pass (SetParameters.py:285-288,
+    predict_distributed_cpu.py:162-165)."""
+    from pepper_tpu.io.vcf import read_vcf
+    from pepper_tpu.options import PipelineConfig
+    from pepper_tpu.pipelines.call_variant import call_variant
+    from pepper_tpu.pipelines.make_images import generate_images
+    from pepper_tpu.presets import set_parameters
+    from pepper_tpu.train.variant_train import train
+
+    tmp = str(tmp_path)
+    genome = random_genome(50000, seed=85)
+    variants = plant_variants(dict(genome), 20, 5, 5, seed=86)
+    records = simulate_reads(genome, variants, coverage=35, seed=87,
+                             error_rate=0.02, hp_tags=True)
+    fasta, bam = write_dataset(tmp, genome, records)
+    truth = write_truth_vcf(tmp + "/truth.vcf", genome, variants)
+
+    train_cfg = set_parameters(PipelineConfig(
+        bam=bam, fasta=fasta, output_dir=tmp,
+        sub_command="make_train_images", ont_r9_guppy5_sup=True, threads=1,
+        train_mode=True, truth_vcf=truth, use_hp_info=True,
+        random_draw_probability=1.0,
+        image_output_directory=tmp + "/hp_train_images/"))
+    generate_images(train_cfg)
+    model_path = train(tmp + "/hp_train_images/", tmp + "/hp_train_images/",
+                       tmp + "/hp_models/", batch_size=32, epoch_limit=6,
+                       step_size=25, lr=3e-4)
+
+    out_dir = tmp + "/hp_out/"
+    config = set_parameters(PipelineConfig(
+        bam=bam, fasta=fasta, output_dir=out_dir, model_path=model_path,
+        sub_command="call_variant", ont_r9_guppy5_sup=True, threads=2,
+        use_hp_info=True, region_size=20000))
+    paths = call_variant(config)
+    assert set(paths) == {"full", "pepper", "vc", "vc_snp", "vc_indel"}
+    for p in paths.values():
+        assert os.path.isfile(p), p
+
+    full = read_vcf(paths["full"])
+    assert full, "no records in FULL VCF"
+    called = {(r.contig, r.pos) for r in full
+              if "PASS" in r.filters and r.genotype() != [0, 0]}
+    snps = [v for v in variants if len(v.ref) == 1 and len(v.alt) == 1]
+    hit = sum((v.contig, v.pos) in called for v in snps)
+    recall = hit / len(snps)
+    assert recall >= 0.6, f"planted-SNP recall {recall:.2f} ({hit}/{len(snps)})"

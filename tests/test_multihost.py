@@ -20,6 +20,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _DRIVER = """
 import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")  # sitecustomize may pin a TPU
 sys.path.insert(0, {repo!r})
 from pepper_tpu.options import PipelineConfig
 from pepper_tpu.presets import set_parameters
@@ -92,6 +94,65 @@ def test_two_host_run_matches_single_host_byte_identical(dataset):
     # the gather cleaned up its shard files
     assert not glob.glob(os.path.join(out2, ".pepper_candidates_host_*"))
     # both hosts produced VCF records (not a degenerate empty run)
+    from pepper_tpu.io.vcf import read_vcf
+    full = [p for p in glob.glob(out1 + "*.vcf.gz") if "FULL" in p][0]
+    assert len(read_vcf(full)) >= 10
+
+
+@pytest.fixture(scope="module")
+def trained_model(dataset):
+    """A small REAL model (non-dry DeviceRunner path) for the production-
+    configuration multi-host test; accuracy is irrelevant to byte-identity,
+    so training is short."""
+    import jax
+    from pepper_tpu.options import PipelineConfig
+    from pepper_tpu.pipelines.make_images import generate_images
+    from pepper_tpu.presets import set_parameters
+
+    tmp = dataset["tmp"]
+    config = set_parameters(PipelineConfig(
+        bam=dataset["bam"], fasta=dataset["fasta"], output_dir=tmp,
+        sub_command="make_train_images", ont_r9_guppy5_sup=True, threads=1,
+        train_mode=True, truth_vcf=dataset["truth"],
+        random_draw_probability=1.0,
+        image_output_directory=tmp + "/mh_train_images/"))
+    generate_images(config)
+    from pepper_tpu.train.variant_train import train
+    return train(tmp + "/mh_train_images/", tmp + "/mh_train_images/",
+                 tmp + "/mh_models/", batch_size=32, epoch_limit=2,
+                 step_size=50, lr=3e-4)
+
+
+@pytest.mark.slow
+def test_two_host_streamed_real_model_byte_identical(dataset, trained_model):
+    """The PRODUCTION configuration under 2 hosts: streaming fused
+    stage 1+2+3 with a real model through DeviceRunner, host-sharded
+    intervals, candidate gather — byte-identical to the 1-host run.
+    (The dry/staged variant is covered above; this covers
+    stream_inference + gather_candidate_lists end to end.)"""
+    over = dict(dry=False, train_mode=False, streaming=True, threads=2,
+                model_path=trained_model)
+    out1 = os.path.join(dataset["tmp"], "out_1host_stream/")
+    proc = _run_host(dataset, out1, "stream_single", **over)
+    _, err = proc.communicate(timeout=900)
+    assert proc.returncode == 0, err.decode()[-3000:]
+
+    out2 = os.path.join(dataset["tmp"], "out_2host_stream/")
+    h1 = _run_host(dataset, out2, "stream_h1", num_hosts=2, host_id=1,
+                   **over)
+    h0 = _run_host(dataset, out2, "stream_h0", num_hosts=2, host_id=0,
+                   **over)
+    _, err1 = h1.communicate(timeout=900)
+    _, err0 = h0.communicate(timeout=900)
+    assert h1.returncode == 0, err1.decode()[-3000:]
+    assert h0.returncode == 0, err0.decode()[-3000:]
+
+    single = _vcf_bytes(out1)
+    double = _vcf_bytes(out2)
+    assert single.keys() == double.keys()
+    for name in single:
+        assert single[name] == double[name], \
+            f"{name} differs between 1-host and 2-host streamed runs"
     from pepper_tpu.io.vcf import read_vcf
     full = [p for p in glob.glob(out1 + "*.vcf.gz") if "FULL" in p][0]
     assert len(read_vcf(full)) >= 10

@@ -199,6 +199,56 @@ def _install_build_stub():
     sys.modules["pepper_variant.build"] = mod
 
 
+def _install_h5py_shim(ref_cf):
+    """The reference's string parsing assumes h5py 2.x semantics (vlen str
+    datasets read back as `str`; fixed-length S stays bytes). Modern h5py
+    returns bytes for both, which would silently drop every candidate.
+    Shim the module's h5py to its own era's behavior — logic untouched."""
+    import types as _types
+
+    import h5py as real_h5py
+
+    def _decode(v):
+        if isinstance(v, bytes):
+            return v.decode()
+        if isinstance(v, np.ndarray) and v.dtype == object:
+            return np.array([_decode(x) for x in v.ravel()],
+                            dtype=object).reshape(v.shape)
+        return v
+
+    class _DsetShim:
+        def __init__(self, d):
+            self._d = d
+
+        def __getitem__(self, k):
+            v = self._d[k]
+            return _decode(v) if self._d.dtype == object else v
+
+    class _GroupShim:
+        def __init__(self, g):
+            self._g = g
+
+        def keys(self):
+            return self._g.keys()
+
+        def __getitem__(self, k):
+            item = self._g[k]
+            return (_DsetShim(item) if isinstance(item, real_h5py.Dataset)
+                    else _GroupShim(item))
+
+    class _FileShim(_GroupShim):
+        def __init__(self, path, mode):
+            super().__init__(real_h5py.File(path, mode))
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            self._g.close()
+
+    ref_cf.h5py = _types.SimpleNamespace(File=_FileShim)
+
+
 def test_reference_repeat_annotation_parity():
     _install_build_stub()
     from pepper_variant.modules.python.CandidateFinder import \
@@ -240,52 +290,7 @@ def test_reference_small_chunk_stitch_differential(tmp_path):
         small_chunk_stitch as ref_stitch
     from pepper_tpu.pipelines.find_candidates import collect_candidate_lists
 
-    # the reference's string parsing assumes h5py 2.x semantics (vlen str
-    # datasets read back as `str`; fixed-length S stays bytes). Modern h5py
-    # returns bytes for both, which would silently drop every candidate.
-    # Shim the module's h5py to its own era's behavior — logic untouched.
-    import h5py as real_h5py
-
-    def _decode(v):
-        if isinstance(v, bytes):
-            return v.decode()
-        if isinstance(v, np.ndarray) and v.dtype == object:
-            return np.array([_decode(x) for x in v.ravel()],
-                            dtype=object).reshape(v.shape)
-        return v
-
-    class _DsetShim:
-        def __init__(self, d):
-            self._d = d
-
-        def __getitem__(self, k):
-            v = self._d[k]
-            return _decode(v) if self._d.dtype == object else v
-
-    class _GroupShim:
-        def __init__(self, g):
-            self._g = g
-
-        def keys(self):
-            return self._g.keys()
-
-        def __getitem__(self, k):
-            item = self._g[k]
-            return (_DsetShim(item) if isinstance(item, real_h5py.Dataset)
-                    else _GroupShim(item))
-
-    class _FileShim(_GroupShim):
-        def __init__(self, path, mode):
-            super().__init__(real_h5py.File(path, mode))
-
-        def __enter__(self):
-            return self
-
-        def __exit__(self, *exc):
-            self._g.close()
-
-    import types as _types
-    ref_cf.h5py = _types.SimpleNamespace(File=_FileShim)
+    _install_h5py_shim(ref_cf)
     from pepper_tpu.pipelines.datastore import PredictionStore
     from pepper_tpu.options import PipelineConfig
     from pepper_tpu.presets import set_parameters
@@ -392,3 +397,113 @@ def test_reference_polish_stitch_differential(tmp_path, monkeypatch):
     assert (int(ours[0]), int(ours[1])) == (int(want[0]), int(want[1]))
     assert ours[2] == want[2]
     assert len(ours[2]) > 1500
+
+
+@pytest.mark.slow
+def test_reference_composed_image_to_vcf_differential(tmp_path):
+    """THE composed acceptance differential: the reference's OWN torch
+    TransducerGRU forward + the reference's OWN small_chunk_stitch run over
+    the SAME image HDF5 our pipeline consumes; the resulting candidate
+    lists go through the shared aggregation + VCF assembly and must yield
+    record-identical VCFs to our full stage-2->3->VCF pipeline. Catches
+    day-one divergence anywhere between image and final record with
+    reference code as the oracle (VcfWriter.py:48-218 contract)."""
+    import types
+
+    _install_build_stub()
+    import pepper_variant.modules.python.CandidateFinder as ref_cf
+    _install_h5py_shim(ref_cf)
+    from pepper_variant.modules.python.CandidateFinder import \
+        small_chunk_stitch as ref_stitch
+    from pepper_variant.modules.python.models.simple_model import \
+        TransducerGRU
+
+    from pepper_tpu.io.fasta import FastaReader
+    from pepper_tpu.io.vcf import VCFWriteEngine, read_vcf
+    from pepper_tpu.options import PipelineConfig
+    from pepper_tpu.pipelines.datastore import PredictionStore
+    from pepper_tpu.pipelines.find_candidates import (aggregate_candidates,
+                                                      process_candidates)
+    from pepper_tpu.pipelines.make_images import generate_images
+    from pepper_tpu.presets import set_parameters
+    from pepper_tpu.runtime.inference import load_all_summaries, run_inference
+    from tests.util.synth import (plant_variants, random_genome,
+                                  simulate_reads, write_dataset)
+
+    tmp = str(tmp_path)
+    genome = random_genome(40000, seed=71)
+    variants = plant_variants(dict(genome), 15, 4, 4, seed=72)
+    records = simulate_reads(genome, variants, coverage=30, seed=73)
+    fasta, bam = write_dataset(tmp, genome, records)
+
+    config = set_parameters(PipelineConfig(
+        bam=bam, fasta=fasta, output_dir=tmp + "/",
+        sub_command="call_variant", ont_r9_guppy5_sup=True, threads=1,
+        region_size=10000,
+        image_output_directory=tmp + "/images/"))
+    generate_images(config)
+
+    # the SAME weights on both sides: a reference-format checkpoint,
+    # imported by our loader and loaded natively by torch
+    m = TransducerGRU(image_features=26, gru_layers=1, hidden_size=256,
+                      num_classes=28, num_classes_type=3).eval()
+    ckpt = tmp + "/ref_model.pkl"
+    torch.save({"model_state_dict": m.state_dict(), "model_optimizer": {},
+                "hidden_size": 256, "gru_layers": 1, "epochs": 1}, ckpt)
+    config.model_path = ckpt
+
+    # ---- ours: staged stage 2 + stage 3 + VCF write ----
+    pred_dir = tmp + "/preds/"
+    run_inference(config, config.image_output_directory, pred_dir)
+    ours_paths = process_candidates(config, pred_dir, tmp + "/out_ours/")
+
+    # ---- composed reference: torch forward -> prediction store ->
+    # reference small_chunk_stitch -> shared aggregation + VCF write ----
+    data = load_all_summaries(config.image_output_directory)
+    with torch.no_grad():
+        probs = m(torch.from_numpy(
+            data["images"].astype(np.float32))).numpy()
+    ref_pred = tmp + "/ref_preds.hdf"
+    freqs = [[int(np.atleast_1d(f)[0])] for f in data["candidate_frequency"]]
+    with PredictionStore(ref_pred, "w") as store:
+        store.write_prediction(0, data["contigs"], data["positions"],
+                               data["depths"], data["candidates"], freqs,
+                               probs.astype(np.float64))
+    options = types.SimpleNamespace(
+        fasta=fasta, snp_p_value=config.snp_p_value,
+        insert_p_value=config.insert_p_value,
+        delete_p_value=config.delete_p_value,
+        snp_p_value_in_lc=config.snp_p_value_in_lc,
+        insert_p_value_in_lc=config.insert_p_value_in_lc,
+        delete_p_value_in_lc=config.delete_p_value_in_lc,
+        report_snp_above_freq=config.report_snp_above_freq,
+        report_indel_above_freq=config.report_indel_above_freq)
+    ref_margin, ref_dv = ref_stitch(options, [(ref_pred, "batch_0")])
+    assert len(ref_dv) > 20, "composed path found no candidates"
+    _contigs, _margin, dv_candidates = aggregate_candidates(ref_margin,
+                                                            ref_dv)
+    with FastaReader(fasta) as fa:
+        fasta_contigs = [(n, fa.get_chromosome_sequence_length(n))
+                         for n in fa.get_chromosome_names()]
+    out_ref = tmp + "/out_ref/"
+    os.makedirs(out_ref)
+    writer = VCFWriteEngine(fasta_contigs, config.sample_name, out_ref)
+    writer.write_vcf_records(dv_candidates, config)
+    writer.close()
+    ref_paths = writer.paths
+
+    # ---- record-level comparison (QUAL tolerant to f32-vs-f32 forward
+    # noise between torch and XLA; everything else exact) ----
+    assert set(ours_paths) == set(ref_paths)
+    compared = 0
+    for key in ours_paths:
+        ours = read_vcf(ours_paths[key])
+        ref = read_vcf(ref_paths[key])
+        assert len(ours) == len(ref), key
+        for a, b in zip(ours, ref):
+            assert (a.contig, a.pos, a.ref, tuple(a.alts)) == \
+                (b.contig, b.pos, b.ref, tuple(b.alts)), (key, a, b)
+            assert a.genotype() == b.genotype(), (key, a, b)
+            assert abs(float(a.qual) - float(b.qual)) <= 0.05, (key, a, b)
+            compared += 1
+    assert compared > 20
