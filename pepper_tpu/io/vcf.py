@@ -126,14 +126,19 @@ class _TabixBuilder:
         self._name_idx: Dict[str, int] = {}
         self.bins: List[Dict[int, List[Tuple[int, int]]]] = []
         self.linear: List[Dict[int, int]] = []
+        self._last: Tuple[str, int] = ("", -1)  # (contig, ref) fast path
 
     def add(self, contig: str, beg: int, end: int, v_start: int, v_end: int):
-        if contig not in self._name_idx:
-            self._name_idx[contig] = len(self.names)
-            self.names.append(contig)
-            self.bins.append({})
-            self.linear.append({})
-        ref = self._name_idx[contig]
+        if contig == self._last[0]:
+            ref = self._last[1]
+        else:
+            if contig not in self._name_idx:
+                self._name_idx[contig] = len(self.names)
+                self.names.append(contig)
+                self.bins.append({})
+                self.linear.append({})
+            ref = self._name_idx[contig]
+            self._last = (contig, ref)
         b = _reg2bin(beg, end)
         chunks = self.bins[ref].setdefault(b, [])
         if chunks and chunks[-1][1] == v_start:
@@ -183,12 +188,15 @@ class IndexedVcfWriter:
         self._bgzf = BGZFWriter(path)
         self._tabix = _TabixBuilder()
         self._bgzf.write(header_text.encode())
+        self._voffset = self._bgzf.virtual_offset
 
-    def write_record(self, contig: str, beg: int, end: int, line: str):
-        v_start = self._bgzf.virtual_offset
-        self._bgzf.write(line.encode())
-        self._tabix.add(contig, beg, end, v_start,
-                        self._bgzf.virtual_offset)
+    def write_record(self, contig: str, beg: int, end: int, line):
+        # records are written back to back, so the previous record's end
+        # offset is this record's start — one offset computation per record
+        v_start = self._voffset
+        self._bgzf.write(line if isinstance(line, bytes) else line.encode())
+        self._voffset = v_end = self._bgzf.virtual_offset
+        self._tabix.add(contig, beg, end, v_start, v_end)
 
     def close(self):
         self._bgzf.close()
@@ -247,6 +255,19 @@ class VCFWriteEngine:
 
     def candidate_list_to_variant(self, candidates, allowed_multiallelics: int):
         """Parity: VcfWriter.candidate_list_to_variant (VcfWriter.py:49-138)."""
+        if len(candidates) == 1:
+            # single-candidate site (the overwhelming majority): the sort,
+            # truncation and ref-suffix normalization are all no-ops
+            (contig, ref_start, _ref_end, ref_allele, alt_allele, _genotype,
+             depth, support, gt_prob, predictions, non_alt_preds,
+             in_repeat) = candidates[0]
+            p0, p1, p2 = predictions
+            pg = 0 if p0 >= p1 and p0 >= p2 else (1 if p1 >= p2 else 2)
+            gt_qual = predictions[pg] if pg else max(p1, p2)
+            gt = [0, 0] if pg == 0 else ([0, 1] if pg == 1 else [1, 1])
+            return (contig, ref_start, ref_start + len(ref_allele),
+                    ref_allele, [alt_allele[0]], gt, depth, [support[0]],
+                    gt_qual, list(non_alt_preds), in_repeat)
         candidates = sorted(candidates, key=lambda x: (x[5], x[8]), reverse=True)
         if len(candidates) > allowed_multiallelics:
             candidates = candidates[:allowed_multiallelics]
@@ -345,24 +366,22 @@ class VCFWriteEngine:
             if qual <= cutoff:
                 failed_variant = True
 
-            selected_for_variant_calling = (genotype == [0, 0] or failed_variant)
-            vafs = [round(ad / max(1, depth), 3) for ad in support]
-            filt = "refCall" if genotype == [0, 0] else "PASS"
+            is_ref_call = genotype[0] == 0 and genotype[1] == 0
+            selected_for_variant_calling = (is_ref_call or failed_variant)
+            inv_depth = 1.0 / max(1, depth)
+            vafs = [round(ad * inv_depth, 3) for ad in support]
+            filt = "refCall" if is_ref_call else "PASS"
 
-            fields = [
-                contig, str(ref_start + 1), ".", ref_seq, ",".join(alleles),
-                str(qual), filt, ".", "GT:AP:GQ:DP:AD:VAF:REP",
-                ":".join([
-                    "/".join(str(g) for g in genotype),
-                    ",".join(_fmt_float(p) for p in non_alt_preds) or ".",
-                    _fmt_float(qual),
-                    str(depth),
-                    ",".join(str(s) for s in support),
-                    ",".join(_fmt_float(v) for v in vafs),
-                    "1" if in_repeat else "0",
-                ]),
-            ]
-            line = "\t".join(fields) + "\n"
+            # str(qual) == format(qual, '.6g') for the int qual range here
+            line = (f"{contig}\t{ref_start + 1}\t.\t{ref_seq}\t"
+                    f"{','.join(alleles)}\t{qual}\t{filt}\t.\t"
+                    f"GT:AP:GQ:DP:AD:VAF:REP\t"
+                    f"{genotype[0]}/{genotype[1]}:"
+                    f"{','.join(_fmt_float(p) for p in non_alt_preds) or '.'}:"
+                    f"{qual}:{depth}:"
+                    f"{','.join(map(str, support))}:"
+                    f"{','.join(_fmt_float(v) for v in vafs)}:"
+                    f"{'1' if in_repeat else '0'}\n").encode()
 
             def emit(key, total_idx):
                 self.files[key].write_record(contig, ref_start, ref_end, line)

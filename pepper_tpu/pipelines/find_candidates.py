@@ -373,8 +373,10 @@ def aggregate_candidates(margin_all: list, dv_all: list):
     to be stable within a (contig, position) key — each key is produced by
     exactly one batch, so any concatenation of per-worker/per-host shard
     lists aggregates identically."""
-    margin_all = sorted(margin_all, key=lambda x: (x[0], x[1]))
-    dv_all = sorted(dv_all, key=lambda x: (x[0], x[1]))
+    from operator import itemgetter
+    key01 = itemgetter(0, 1)
+    margin_all = sorted(margin_all, key=key01)
+    dv_all = sorted(dv_all, key=key01)
 
     margin_dict = defaultdict(list)
     margin_alts = defaultdict(list)
