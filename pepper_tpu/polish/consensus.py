@@ -108,36 +108,59 @@ def call_consensus(image_dir: str, model_path: str, output_dir: str,
     params = jax.tree_util.tree_map(jnp.asarray, _load_model_params(model_path))
     vote_fn = make_window_vote_fn(params)
 
-    # gather (file, summary) pairs
-    pairs = []
-    for path in polish_image_files(image_dir):
+    # cheap metadata pass for the parity log line (no image data read)
+    files = polish_image_files(image_dir)
+    n_seqs = 0
+    for path in files:
         with PolishImageStore(path, "r") as store:
-            pairs.extend((path, name) for name in store.summary_names())
-    _log(f"TOTAL SEQUENCES: {len(pairs)}")
+            n_seqs += len(store.summary_names())
+    _log(f"TOTAL SEQUENCES: {n_seqs}")
     t0 = time.time()
 
     with PolishPredictionStore(out_path, "w") as out:
-        for lo in range(0, len(pairs), batch_size):
-            batch_pairs = pairs[lo:lo + batch_size]
-            metas, images = [], []
-            for path, name in batch_pairs:
-                with PolishImageStore(path, "r") as store:
-                    s = store.read_summary(name)
-                metas.append(s)
-                images.append(s["image"])
+
+        def submit(metas, images):
             # ship uint8 (the store's native dtype); cast on device
             x = np.stack(images)
-            pad = 0
-            if len(batch_pairs) < batch_size:
-                pad = batch_size - len(batch_pairs)
+            if len(images) < batch_size:
                 x = np.concatenate(
-                    [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-            labels, phred = vote_fn(jnp.asarray(x))
-            labels = np.asarray(labels)[:len(batch_pairs)]
+                    [x, np.zeros((batch_size - len(images),) + x.shape[1:],
+                                 x.dtype)])
+            labels, _phred = vote_fn(jnp.asarray(x))
+            return metas, labels
+
+        def drain(pending):
+            metas, labels = pending
+            labels = np.asarray(labels)[:len(metas)]
             for meta, base_labels in zip(metas, labels):
                 out.write_prediction(
                     meta["contig"], meta["region_start"], meta["region_end"],
                     meta["chunk_id"], meta["position"], meta["index"],
                     base_labels)
+
+        # each image file is opened ONCE and one device batch stays in
+        # flight: the async dispatch returns immediately, so the next
+        # batch's HDF5 reads overlap the chip's compute
+        pending = None
+        metas, images = [], []
+        for path in files:
+            with PolishImageStore(path, "r") as store:
+                for name in store.summary_names():
+                    s = store.read_summary(name)
+                    metas.append(s)
+                    images.append(s["image"])
+                    if len(metas) == batch_size:
+                        nxt = submit(metas, images)
+                        metas, images = [], []
+                        if pending is not None:
+                            drain(pending)
+                        pending = nxt
+        if metas:
+            nxt = submit(metas, images)
+            if pending is not None:
+                drain(pending)
+            pending = nxt
+        if pending is not None:
+            drain(pending)
     _log(f"CONSENSUS INFERENCE COMPLETE [{time.time() - t0:.1f}s]")
     return out_path

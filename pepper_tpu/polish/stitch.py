@@ -45,8 +45,13 @@ def small_chunk_stitch(contig: str,
     Python loop (and needs no process pool)."""
     buffer_positions = PolishImageOptions.MIN_IMAGE_OVERLAP * 2
     pos_parts, idx_parts, base_parts = [], [], []
-    for file_name, chunk_key, _st, _end in chunk_keys:
-        with PolishPredictionStore(file_name, "r") as store:
+    stores: Dict[str, PolishPredictionStore] = {}  # one open per file
+    try:
+        for file_name, chunk_key, _st, _end in chunk_keys:
+            store = stores.get(file_name)
+            if store is None:
+                store = stores[file_name] = PolishPredictionStore(
+                    file_name, "r")
             for bases, positions, indices in store.read_chunks(contig,
                                                                chunk_key):
                 positions = np.asarray(positions, np.int64)
@@ -59,6 +64,9 @@ def small_chunk_stitch(contig: str,
                     pos_parts.append(positions[mask])
                     idx_parts.append(indices[mask])
                     base_parts.append(bases[mask])
+    finally:
+        for store in stores.values():
+            store.close()
     if not pos_parts:
         return -1, -1, ""
     pos = np.concatenate(pos_parts)
