@@ -133,6 +133,10 @@ class _ContigSpanCache:
 
 _ACGT_BYTES = frozenset(b"ACGT")
 
+# test hook: force the scalar gate loop even for single-allele batches so
+# the vectorized fast path can be differential-tested against it
+_FORCE_LOOP = False
+
 
 def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
                      contigs, positions, depths, cand_lists, freq_lists,
@@ -177,6 +181,60 @@ def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
     del_p, del_p_lc = config.delete_p_value, config.delete_p_value_in_lc
     snp_freq, indel_freq = (config.report_snp_above_freq,
                             config.report_indel_above_freq)
+
+    if not _FORCE_LOOP and all(len(c) == 1 for c in cand_lists):
+        # one allele per row — the shape the encoder always emits
+        # (region_encoder.py:73,391): every gate is pure threshold algebra,
+        # so the decisions vectorize and Python only materializes the
+        # tuples for rows that pass. Bit-identical to the loop below
+        # (differential-tested vs the reference's small_chunk_stitch).
+        first = [c[0] for c in cand_lists]
+        atype = np.frombuffer(
+            "".join(a[0] for a in first).encode("latin-1"), np.uint8) \
+            - ord("0")
+        bodies = [a[1:] for a in first]
+        valid_allele = np.fromiter((_valid_allele(b) for b in bodies),
+                                   bool, n)
+        freqs = np.asarray([f[0] for f in freq_lists], np.int64)
+        depths_arr = np.asarray(depths, np.float64)
+        vaf = np.where(depths_arr > 0, freqs / np.maximum(depths_arr, 1), 0.0)
+        nap = np.maximum(preds[:, 1], preds[:, 2])
+        pg = np.asarray(all_genotypes)
+        valid_arr = np.asarray(valid)
+        rep = in_repeat_arr
+
+        p_pass = np.where(
+            atype == 1, np.where(rep, nap >= snp_p_lc, nap >= snp_p),
+            np.where(atype == 2,
+                     np.where(rep, nap >= ins_p_lc, nap >= ins_p),
+                     np.where(rep, nap >= del_p_lc, nap >= del_p)))
+        freq_override = np.where(
+            atype == 1, (snp_freq > 0) & (vaf >= snp_freq),
+            (indel_freq > 0) & (vaf >= indel_freq))
+        base_ok = valid_arr & valid_allele & (atype >= 1) & (atype <= 3)
+        margin_mask = base_ok & (atype == 1) & (pg != 0)
+        dv_mask = base_ok & (p_pass | freq_override)
+        del_swap = (atype == 3) & p_pass
+
+        gt_tab = ([0, 0], [0, 1], [1, 1])
+        for i in np.flatnonzero(margin_mask).tolist():
+            margin_list.append((
+                contigs[i], all_positions[i], all_positions[i] + 1,
+                ref_chars[i], [bodies[i]], list(gt_tab[pg[i]]),
+                all_depths[i], [int(freqs[i])], all_values[i],
+                all_preds[i]))
+        naps = nap.tolist()
+        for i in np.flatnonzero(dv_mask).tolist():
+            if del_swap[i]:
+                ref_out, alts = bodies[i], [ref_chars[i]]
+            else:
+                ref_out, alts = ref_chars[i], [bodies[i]]
+            deepvariant_list.append((
+                contigs[i], all_positions[i],
+                all_positions[i] + len(ref_out), ref_out, alts,
+                list(gt_tab[pg[i]]), all_depths[i], [int(freqs[i])],
+                all_values[i], all_preds[i], [naps[i]], in_repeats[i]))
+        return
 
     for i in range(n):
         if not valid[i]:

@@ -170,3 +170,58 @@ def test_region_bed_restricts_output(tmp_path, dataset):
     by_pos = {(r.contig, r.pos) for r in recs}
     for v in in_bed:
         assert (v.contig, v.pos) in by_pos
+
+
+def test_vectorized_gates_match_scalar_loop(tmp_path):
+    """The single-allele vectorized gate fast path (find_candidates.py)
+    produces exactly the same (margin, deepvariant) lists as the scalar
+    reference-parity loop over fuzzed candidates spanning every gate:
+    SNP/INS/DEL types, low-complexity spans, invalid ref bases and
+    alleles, zero depths, freq overrides, and unknown type codes."""
+    from pepper_tpu.io.fasta import write_fasta
+    from pepper_tpu.io.fasta import FastaReader
+    from pepper_tpu.pipelines import find_candidates as fc
+    from tests.util.synth import random_genome
+
+    rng = np.random.default_rng(5)
+    seq = list(random_genome(3000, seed=6)[0][1])
+    for start in range(100, 2900, 300):          # homopolymers -> in_repeat
+        seq[start:start + 7] = "T" * 7
+    for start in range(250, 2900, 500):          # invalid reference bases
+        seq[start] = "N"
+    fasta_path = str(tmp_path / "ref.fa")
+    write_fasta(fasta_path, [("chr1", "".join(seq))])
+
+    n = 500
+    positions = np.sort(rng.choice(np.arange(10, 2990), n, replace=False))
+    alleles = ["1A", "1C", "1G", "1T", "2AT", "2ACG", "3AA", "3ACTG",
+               "1N", "2AN", "3AN", "0A", "4T", "1", "2"]
+    contigs = ["chr1"] * n
+    cand_lists = [[str(rng.choice(alleles))] for _ in range(n)]
+    depths = [int(rng.integers(0, 50)) for _ in range(n)]
+    freqs = [[int(rng.integers(0, max(1, d) + 1))] for d in depths]
+    preds = rng.random((n, 3)) ** 3
+    preds /= preds.sum(axis=1, keepdims=True)
+
+    config = set_parameters(PipelineConfig(
+        sub_command="find_candidates", ont_r9_guppy5_sup=True))
+    config.report_snp_above_freq = 0.2       # exercise the freq overrides
+    config.report_indel_above_freq = 0.15
+
+    def run():
+        with FastaReader(fasta_path) as fa:
+            span = fc._ContigSpanCache(fa)
+            margin, dv = [], []
+            fc.batch_candidates(config, span, contigs, positions, depths,
+                                cand_lists, freqs, preds, margin, dv)
+        return margin, dv
+
+    fast = run()
+    fc._FORCE_LOOP = True
+    try:
+        slow = run()
+    finally:
+        fc._FORCE_LOOP = False
+    assert fast[0] == slow[0]
+    assert fast[1] == slow[1]
+    assert fast[0] and fast[1], "fuzz should produce non-empty lists"
