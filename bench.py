@@ -32,7 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-GENOME_MBP = 1.0
+# dataset scale knob: PEPPER_BENCH_MBP=10 runs the same pipeline on a
+# 10x genome (scaling experiments); the driver's default stays 1 Mbp
+GENOME_MBP = float(os.environ.get("PEPPER_BENCH_MBP", "1.0"))
 COVERAGE = 35
 READ_LEN = 10000
 ERROR = 0.08

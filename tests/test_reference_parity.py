@@ -507,3 +507,102 @@ def test_reference_composed_image_to_vcf_differential(tmp_path):
             assert abs(float(a.qual) - float(b.qual)) <= 0.05, (key, a, b)
             compared += 1
     assert compared > 20
+
+
+@pytest.mark.slow
+def test_reference_composed_polish_image_to_fasta_differential(tmp_path,
+                                                               monkeypatch):
+    """THE composed polish acceptance differential: the reference's OWN
+    torch TransducerGRU + the reference's OWN window/vote predict loop
+    (models/predict.py:47-97) + the reference's OWN Stitch run over the
+    SAME polish image HDF5 our pipeline consumes, with the same weights —
+    and must produce the identical polished sequence to our
+    consensus+stitch. Catches divergence anywhere between pileup image
+    and final FASTA with reference code as the oracle."""
+    import types
+
+    # the reference dataloader imports torchvision but never uses the
+    # transform at runtime; stub it (not installed in this image)
+    tv = types.ModuleType("torchvision")
+    tr = types.ModuleType("torchvision.transforms")
+    tr.Compose = lambda x: None
+    tr.ToTensor = lambda: None
+    tv.transforms = tr
+    monkeypatch.setitem(sys.modules, "torchvision", tv)
+    monkeypatch.setitem(sys.modules, "torchvision.transforms", tr)
+    monkeypatch.setattr(np, "int", int, raising=False)  # removed alias
+
+    from pepper.modules.python import Stitch as ref_stitch_mod
+    from pepper.modules.python.models import predict as ref_predict_mod
+    from pepper.modules.python.models.simple_model import \
+        TransducerGRU as RefPolishModel
+
+    from pepper_tpu.models.checkpoint import save_checkpoint
+    from pepper_tpu.polish.consensus import call_consensus
+    from pepper_tpu.polish.datastore import PolishPredictionStore
+    from pepper_tpu.polish.make_images import generate_polish_images
+    from pepper_tpu.polish.stitch import perform_stitch
+    from tests.util.synth import (plant_variants, random_genome,
+                                  simulate_reads, write_dataset)
+
+    tmp = str(tmp_path)
+    genome = random_genome(20000, seed=81)          # the DRAFT
+    edits = plant_variants(dict(genome), 10, 4, 4, seed=82)
+    edits = [type(v)(v.contig, v.pos, v.ref, v.alt, (1, 1)) for v in edits]
+    records = simulate_reads(genome, edits, coverage=30, error_rate=0.05,
+                             seed=83)
+    fasta, bam = write_dataset(tmp, genome, records)
+
+    img_dir = tmp + "/images"
+    generate_polish_images(bam, fasta, img_dir, threads=1)
+
+    # same weights on both sides
+    m = RefPolishModel(image_channels=1, image_features=10, gru_layers=1,
+                       hidden_size=128, num_classes=5).eval()
+    ref_ckpt = tmp + "/ref_polish.pkl"
+    torch.save({"model_state_dict": m.state_dict(), "model_optimizer": {},
+                "hidden_size": 128, "gru_layers": 1, "epochs": 1}, ref_ckpt)
+    our_ckpt = tmp + "/polish.npz"
+    save_checkpoint(our_ckpt, from_torch_state_dict(m.state_dict()), {})
+
+    # ---- ours: jitted consensus scan + numpy stitch -> FASTA ----
+    pred_dir = tmp + "/preds"
+    call_consensus(img_dir, our_ckpt, pred_dir)
+    out_fa = perform_stitch(pred_dir, tmp + "/ours", threads=1)
+    with open(out_fa) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0] == ">contig1"
+    ours_seq = lines[1]
+
+    # ---- composed reference: their predict loop writing through a shim
+    # into our store schema, then their small_chunk_stitch ----
+    ref_pred = tmp + "/ref_preds.hdf"
+
+    class _ShimStore:
+        def __init__(self, filename, mode="w"):
+            self._store = PolishPredictionStore(filename, mode)
+
+        def write_prediction(self, contig, contig_start, contig_end,
+                             chunk_id, position, index, predicted_bases):
+            contig = contig.decode() if isinstance(contig, bytes) \
+                else str(contig)
+            self._store.write_prediction(
+                contig, int(contig_start), int(contig_end), int(chunk_id),
+                np.asarray(position), np.asarray(index),
+                np.asarray(predicted_bases))
+
+    monkeypatch.setattr(ref_predict_mod, "DataStore", _ShimStore)
+    ref_predict_mod.predict(img_dir, ref_pred, ref_ckpt, 64, 0, False)
+
+    with PolishPredictionStore(ref_pred, "r") as store:
+        assert store.contigs() == ["contig1"]
+        ref_keys = [(ref_pred, "contig1", st, en)
+                    for _k, st, en in store.chunk_keys("contig1")]
+    ref_keys.sort(key=lambda e: (e[2], e[3]))
+    first, last, ref_seq = ref_stitch_mod.small_chunk_stitch(
+        "contig1", ref_keys)
+
+    assert ours_seq == ref_seq
+    # untrained weights map many positions to the gap label, so the
+    # polished sequence is shorter than the draft — but far from empty
+    assert len(ours_seq) > 5000
