@@ -114,17 +114,19 @@ def make_model(cache):
 
 
 def bench_e2e(cache, fasta, bam, n_threads):
-    """Full call_variant: streamed encode+inference with stage-3 gates
-    running concurrently on the collector thread, then the VCF-write tail.
+    """Full call_variant: streamed encode+inference with stage-3 gates AND
+    ordered VCF emission running behind the device (the production
+    single-host path); the tail is just the final flush + file close.
     Returns (t_stream, t_tail, n_candidates)."""
     from pepper_tpu.pipelines.find_candidates import (
-        StreamingCandidateCollector, finalize_candidates)
+        StreamingCandidateCollector, make_ordered_emitter)
     from pepper_tpu.pipelines.make_images import build_intervals
     from pepper_tpu.runtime.streaming import stream_inference
 
     config = bench_config(fasta, bam, n_threads)
     config.model_path = make_model(cache)
     intervals = build_intervals(config)
+    intervals.sort(key=lambda iv: (iv[0], iv[1]))
 
     out = cache + "/e2e_out"
     shutil.rmtree(out, ignore_errors=True)
@@ -132,13 +134,14 @@ def bench_e2e(cache, fasta, bam, n_threads):
     os.makedirs(pred_dir)
     pred_path = pred_dir + "pepper_predictions.hdf"
     t0 = time.time()
-    collector = StreamingCandidateCollector(config)
+    emitter = make_ordered_emitter(config, out + "/", intervals)
+    collector = StreamingCandidateCollector(config, emitter)
     n = stream_inference(config, intervals, pred_path,
                          candidate_collector=collector)
     t_stream = time.time() - t0
     t0 = time.time()
-    margin_all, dv_all = collector.finish()
-    finalize_candidates(config, out + "/", margin_all, dv_all, t0)
+    collector.finish()
+    emitter.finish()
     t_tail = time.time() - t0
     return t_stream, t_tail, n
 
@@ -273,6 +276,56 @@ def torch_polish_window_inference(n_seqs):
     return dt * n_seqs / sample
 
 
+def bench_train_step(bs: int = 512, iters: int = 60):
+    """Variant-model training throughput: our jitted fwd+bwd+Adam step on
+    the accelerator vs the same step in torch on 1 CPU thread (the
+    per-worker setup of the reference's trainer)."""
+    import jax
+    import jax.numpy as jnp
+    from pepper_tpu.models.variant_model import init_variant_params
+    from pepper_tpu.train.variant_train import make_optimizer, make_train_step
+
+    rng = np.random.RandomState(9)
+    images = rng.randint(-125, 126, (bs, 33, 26)).astype(np.float32)
+    labels = rng.randint(0, 3, bs)
+    opt = make_optimizer(1e-6)
+    step = make_train_step(opt)
+    params = init_variant_params(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+    x, y = jnp.asarray(images), jnp.asarray(labels)
+    key = jax.random.PRNGKey(1)
+    params, opt_state, _ = step(params, opt_state, x, y, key)  # compile
+    jax.block_until_ready(params)
+    t0 = time.time()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, x, y, key)
+    jax.block_until_ready(params)  # the full final state, not just loss
+    t_step = (time.time() - t0) / iters
+
+    import torch
+    torch.set_num_threads(1)
+    from tests.test_models import TorchVariantModel
+    model = TorchVariantModel().train()
+    optim = torch.optim.Adam(model.parameters(), lr=1e-4, weight_decay=1e-6)
+    tx = torch.from_numpy(images)
+    ty = torch.from_numpy(labels.astype(np.int64))
+    ce = torch.nn.CrossEntropyLoss(reduction="sum")
+    def torch_step():
+        # timing baseline: same tensor work as the reference's train loop
+        # (its model returns type logits under train_mode; the softmax
+        # head here is compute-equivalent)
+        optim.zero_grad()
+        loss = ce(model(tx), ty)
+        loss.backward()
+        optim.step()
+    torch_step()  # warmup
+    t0 = time.time()
+    for _ in range(3):
+        torch_step()
+    t_torch = (time.time() - t0) / 3
+    return t_step, t_torch, bs
+
+
 def bench_realigner():
     """The polish image-gen realignment hot path at reference-like load:
     1500 reads x 1 kb window (the workload of the reference's k-mer +
@@ -394,6 +447,16 @@ def main():
             f"{0.1 / t_ref_polish:.3f} Mbp/s)")
     except Exception as exc:
         log(f"polish bench failed: {exc}")
+
+    # ---- training step throughput ----------------------------------------
+    try:
+        t_step, t_torch_step, bs = bench_train_step()
+        log(f"train step (batch {bs}): {1e3 * t_step:.1f} ms/step device "
+            f"({bs / t_step:.0f} ex/s) vs torch-cpu 1-thread "
+            f"{1e3 * t_torch_step:.1f} ms/step -> "
+            f"{t_torch_step / t_step:.1f}x")
+    except Exception as exc:
+        log(f"train bench failed: {exc}")
 
     # ---- realigner --------------------------------------------------------
     try:

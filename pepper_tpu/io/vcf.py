@@ -252,6 +252,8 @@ class VCFWriteEngine:
         }
         self.files = {k: IndexedVcfWriter(p, header)
                       for k, p in self.paths.items()}
+        self._totals = [0, 0, 0, 0, 0]
+        self._last_position = -1
 
     def candidate_list_to_variant(self, candidates, allowed_multiallelics: int):
         """Parity: VcfWriter.candidate_list_to_variant (VcfWriter.py:49-138)."""
@@ -338,62 +340,72 @@ class VCFWriteEngine:
                 site["ref_allele"], site_alts, gt, site["depth"],
                 site_supports, gt_qual, site_naps, site_in_repeat)
 
+    def write_site(self, all_candidates, options) -> None:
+        """Write one (contig, position) site's record(s). Sites MUST be fed
+        in the final global order — (contig, position) lexicographic — the
+        cross-site de-dup state (last_position) lives on the engine.
+        Parity: one iteration of VcfWriter.write_vcf_records
+        (VcfWriter.py:140-218)."""
+        totals = self._totals
+        (contig, ref_start, ref_end, ref_seq, alleles, genotype, depth,
+         support, gt_prob, non_alt_preds, in_repeat) = \
+            self.candidate_list_to_variant(all_candidates,
+                                           options.allowed_multiallelics)
+        if len(alleles) <= 0:
+            return
+        if ref_start == self._last_position:
+            return
+        max_alt_len = max(len(ref_seq), max(len(x) for x in alleles))
+        self._last_position = ref_start
+        qual = max(1, int(-10 * math.log10(max(1e-9, 1.0 - gt_prob))))
+        failed_variant = False
+        is_snp = max_alt_len == 1
+        if is_snp:
+            cutoff = (options.snp_q_cutoff_in_lc if in_repeat
+                      else options.snp_q_cutoff)
+        else:
+            cutoff = (options.indel_q_cutoff_in_lc if in_repeat
+                      else options.indel_q_cutoff)
+        if qual <= cutoff:
+            failed_variant = True
+
+        is_ref_call = genotype[0] == 0 and genotype[1] == 0
+        selected_for_variant_calling = (is_ref_call or failed_variant)
+        inv_depth = 1.0 / max(1, depth)
+        vafs = [round(ad * inv_depth, 3) for ad in support]
+        filt = "refCall" if is_ref_call else "PASS"
+
+        # str(qual) == format(qual, '.6g') for the int qual range here
+        line = (f"{contig}\t{ref_start + 1}\t.\t{ref_seq}\t"
+                f"{','.join(alleles)}\t{qual}\t{filt}\t.\t"
+                f"GT:AP:GQ:DP:AD:VAF:REP\t"
+                f"{genotype[0]}/{genotype[1]}:"
+                f"{','.join(_fmt_float(p) for p in non_alt_preds) or '.'}:"
+                f"{qual}:{depth}:"
+                f"{','.join(map(str, support))}:"
+                f"{','.join(_fmt_float(v) for v in vafs)}:"
+                f"{'1' if in_repeat else '0'}\n").encode()
+
+        def emit(key, total_idx):
+            self.files[key].write_record(contig, ref_start, ref_end, line)
+            totals[total_idx] += 1
+
+        emit("full", 0)
+        if selected_for_variant_calling:
+            emit("vc_snp" if is_snp else "vc_indel", 3 if is_snp else 4)
+            emit("vc", 2)
+        else:
+            emit("pepper", 1)
+
+    @property
+    def totals(self) -> Tuple[int, int, int, int, int]:
+        return tuple(self._totals)
+
     def write_vcf_records(self, variants_list: Dict, options) -> Tuple[int, int, int, int, int]:
         """Parity: VcfWriter.write_vcf_records (VcfWriter.py:140-218)."""
-        totals = [0, 0, 0, 0, 0]
-        last_position = -1
-        for contig, position in sorted(variants_list):
-            all_candidates = variants_list[(contig, position)]
-            (contig, ref_start, ref_end, ref_seq, alleles, genotype, depth,
-             support, gt_prob, non_alt_preds, in_repeat) = \
-                self.candidate_list_to_variant(all_candidates,
-                                               options.allowed_multiallelics)
-            if len(alleles) <= 0:
-                continue
-            if ref_start == last_position:
-                continue
-            max_alt_len = max(len(ref_seq), max(len(x) for x in alleles))
-            last_position = ref_start
-            qual = max(1, int(-10 * math.log10(max(1e-9, 1.0 - gt_prob))))
-            failed_variant = False
-            is_snp = max_alt_len == 1
-            if is_snp:
-                cutoff = (options.snp_q_cutoff_in_lc if in_repeat
-                          else options.snp_q_cutoff)
-            else:
-                cutoff = (options.indel_q_cutoff_in_lc if in_repeat
-                          else options.indel_q_cutoff)
-            if qual <= cutoff:
-                failed_variant = True
-
-            is_ref_call = genotype[0] == 0 and genotype[1] == 0
-            selected_for_variant_calling = (is_ref_call or failed_variant)
-            inv_depth = 1.0 / max(1, depth)
-            vafs = [round(ad * inv_depth, 3) for ad in support]
-            filt = "refCall" if is_ref_call else "PASS"
-
-            # str(qual) == format(qual, '.6g') for the int qual range here
-            line = (f"{contig}\t{ref_start + 1}\t.\t{ref_seq}\t"
-                    f"{','.join(alleles)}\t{qual}\t{filt}\t.\t"
-                    f"GT:AP:GQ:DP:AD:VAF:REP\t"
-                    f"{genotype[0]}/{genotype[1]}:"
-                    f"{','.join(_fmt_float(p) for p in non_alt_preds) or '.'}:"
-                    f"{qual}:{depth}:"
-                    f"{','.join(map(str, support))}:"
-                    f"{','.join(_fmt_float(v) for v in vafs)}:"
-                    f"{'1' if in_repeat else '0'}\n").encode()
-
-            def emit(key, total_idx):
-                self.files[key].write_record(contig, ref_start, ref_end, line)
-                totals[total_idx] += 1
-
-            emit("full", 0)
-            if selected_for_variant_calling:
-                emit("vc_snp" if is_snp else "vc_indel", 3 if is_snp else 4)
-                emit("vc", 2)
-            else:
-                emit("pepper", 1)
-        return tuple(totals)
+        for key in sorted(variants_list):
+            self.write_site(variants_list[key], options)
+        return self.totals
 
     def close(self):
         for f in self.files.values():

@@ -71,13 +71,17 @@ def call_variant(config: PipelineConfig) -> dict:
         # full host encode. Replaces the staged file boundary of the
         # reference (CallVariant.py:84-104).
         from pepper_tpu.pipelines.find_candidates import (
-            StreamingCandidateCollector, finalize_candidates)
+            StreamingCandidateCollector, finalize_candidates,
+            log_candidate_totals, make_ordered_emitter)
         from pepper_tpu.pipelines.make_images import build_intervals
         from pepper_tpu.runtime.streaming import stream_inference
 
         _log("STEP 1+2+3/3 STREAMING IMAGES INTO INFERENCE AND CANDIDATES:")
         os.makedirs(prediction_dir, exist_ok=True)
         intervals = build_intervals(config)
+        # lexicographic (contig, start) = the final VCF record order, so
+        # the single-host stream can emit records at the watermark
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
         if multihost.host_count() > 1:
             intervals = multihost.host_shard(intervals)
             _log(f"HOST {multihost.host_index()}/{multihost.host_count()}: "
@@ -91,9 +95,14 @@ def call_variant(config: PipelineConfig) -> dict:
             f"pepper_predictions_{multihost.host_tag()}0.hdf"
             if multihost.host_count() > 1 else "pepper_predictions.hdf")
         # stage 3 consumes prediction batches as they flush — the gates run
-        # on a collector thread behind the device; only the cross-host
-        # gather + VCF write remain after the stream drains
-        collector = StreamingCandidateCollector(config)
+        # on a collector thread behind the device. Single host: final VCF
+        # records are emitted behind the device too (interval watermark) —
+        # nothing remains after the stream but closing the files.
+        # Multi-host: the cross-host gather + host-0 write remain.
+        emitter = None
+        if multihost.host_count() == 1:
+            emitter = make_ordered_emitter(config, output_dir, intervals)
+        collector = StreamingCandidateCollector(config, emitter)
         t3 = time.time()
         with stage("stream_encode_inference"):
             stream_inference(config, intervals, prediction_path,
@@ -101,8 +110,12 @@ def call_variant(config: PipelineConfig) -> dict:
                              candidate_collector=collector)
         margin_all, dv_all = collector.finish()
         with stage("find_candidates"):
-            vcf_paths = finalize_candidates(config, output_dir,
-                                            margin_all, dv_all, t3)
+            if emitter is not None:
+                totals, vcf_paths = emitter.finish()
+                log_candidate_totals(totals, t3)
+            else:
+                vcf_paths = finalize_candidates(config, output_dir,
+                                                margin_all, dv_all, t3)
     else:
         _log("STEP 1/3 GENERATING IMAGES:")
         config.image_output_directory = image_dir

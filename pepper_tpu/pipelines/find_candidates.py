@@ -345,21 +345,130 @@ def small_chunk_stitch(config: PipelineConfig,
     return margin_list, deepvariant_list
 
 
+def _dedupe_site(cands: list) -> list:
+    """Positional de-dup of one site's candidates by (ref, first-alt) pair,
+    order-preserving — the per-key logic of aggregate_candidates."""
+    seen: list = []
+    out: list = []
+    for cand in cands:
+        pair = (cand[3], cand[4][0])
+        if pair in seen:
+            continue
+        seen.append(pair)
+        out.append(cand)
+    return out
+
+
+class _OrderedEmitter:
+    """Interval-watermark VCF emission for the single-host stream.
+
+    Intervals MUST arrive pre-sorted in the final record order —
+    lexicographic (contig, start), the order `sorted(variants_list)` would
+    yield — so records for every interval before the watermark can be
+    written while later intervals are still encoding. A candidate is
+    bucketed by position (boundary candidates at an interval's end == the
+    next interval's start land in the next bucket, which only ever emits
+    after both neighbours are final, preserving the aggregate de-dup)."""
+
+    def __init__(self, writer, config: PipelineConfig, intervals):
+        import threading
+        keys = [(c, s) for c, s, _e in intervals]
+        assert all(keys[i] <= keys[i + 1] for i in range(len(keys) - 1)), \
+            "ordered emission requires (contig, start)-sorted intervals"
+        self.writer = writer
+        self._config = config
+        self._n = len(intervals)
+        self._starts: Dict[str, List[int]] = {}
+        self._idx0: Dict[str, int] = {}
+        for i, (contig, start, _end) in enumerate(intervals):
+            if contig not in self._starts:
+                self._starts[contig] = []
+                self._idx0[contig] = i
+            self._starts[contig].append(start)
+        self._totals: Dict[int, int] = {}
+        self._gated: Dict[int, int] = {}
+        self._buckets: Dict[int, list] = {}
+        self._head = 0
+        self._lock = threading.Lock()
+
+    def _interval_of(self, contig: str, pos: int) -> int:
+        import bisect
+        starts = self._starts[contig]
+        local = bisect.bisect_right(starts, pos) - 1
+        return self._idx0[contig] + max(0, local)
+
+    def note_interval(self, idx: int, n_rows: int) -> None:
+        with self._lock:
+            self._totals[idx] = n_rows
+
+    def gated(self, new_dv: list, runs) -> None:
+        """Collector thread: bucket this batch's passing candidates, credit
+        its rows against their intervals, then emit the final prefix."""
+        for cand in new_dv:
+            self._buckets.setdefault(
+                self._interval_of(cand[0], cand[1]), []).append(cand)
+        with self._lock:
+            for idx, k in runs:
+                self._gated[idx] = self._gated.get(idx, 0) + k
+        self.advance()
+
+    def _is_final(self, idx: int) -> bool:
+        total = self._totals.get(idx)
+        return total is not None and self._gated.get(idx, 0) >= total
+
+    def advance(self) -> None:
+        while self._head < self._n:
+            with self._lock:
+                if not self._is_final(self._head):
+                    return
+                head = self._head
+                self._head += 1
+            bucket = self._buckets.pop(head, None)
+            if not bucket:
+                continue
+            bucket.sort(key=lambda c: c[1])  # stable: arrival order kept
+            i = 0
+            while i < len(bucket):
+                j = i + 1
+                while j < len(bucket) and bucket[j][1] == bucket[i][1]:
+                    j += 1
+                self.writer.write_site(_dedupe_site(bucket[i:j]),
+                                       self._config)
+                i = j
+
+    def finish(self):
+        self.advance()
+        if self._head != self._n:
+            missing = [i for i in range(self._n) if not self._is_final(i)]
+            raise RuntimeError(
+                f"streamed VCF emission incomplete: intervals {missing[:5]}"
+                f"{'...' if len(missing) > 5 else ''} never finalized")
+        assert not self._buckets, "candidates bucketed past the last interval"
+        self.writer.close()
+        return self.writer.totals, self.writer.paths
+
+
 class StreamingCandidateCollector:
     """Stage-3 consumer running concurrently with the fused stage 1+2
     stream: prediction batches are pushed as the streamer flushes them and
     the candidate gates run on a worker thread while the chip and the
     encode threads keep working — removing the stage-2 -> stage-3 barrier
     that the reference's post-hoc pool has
-    (FindCandidates.py:156-190). finish() joins and returns the lists."""
+    (FindCandidates.py:156-190). finish() joins and returns the lists.
 
-    def __init__(self, config: PipelineConfig):
+    With `ordered_emitter` set (single-host streams), final VCF records are
+    also written behind the device as the interval watermark advances —
+    stage 3 has no tail left beyond the last flush."""
+
+    def __init__(self, config: PipelineConfig,
+                 ordered_emitter: Optional[_OrderedEmitter] = None):
         import queue as _queue
         import threading
         self._config = config
         self._queue: "_queue.Queue" = _queue.Queue(maxsize=8)
         self._margin: list = []
         self._dv: list = []
+        self._emitter = ordered_emitter
         self._error: List[BaseException] = []
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -372,19 +481,27 @@ class StreamingCandidateCollector:
                 item = self._queue.get()
                 if item is None:
                     break
-                batch_candidates(self._config, span, *item,
+                batch, runs = item
+                n_dv = len(self._dv)
+                batch_candidates(self._config, span, *batch,
                                  self._margin, self._dv)
+                if self._emitter is not None:
+                    self._emitter.gated(self._dv[n_dv:], runs)
             fasta.close()
         except BaseException as exc:
             self._error.append(exc)
 
+    def note_interval(self, idx: int, n_rows: int) -> None:
+        if self._emitter is not None:
+            self._emitter.note_interval(idx, n_rows)
+
     def add(self, contigs, positions, depths, cand_lists, freq_lists,
-            preds) -> None:
+            preds, runs=()) -> None:
         if self._error:
             raise RuntimeError("candidate collector failed") \
                 from self._error[0]
-        self._queue.put((contigs, positions, depths, cand_lists,
-                         freq_lists, preds))
+        self._queue.put(((contigs, positions, depths, cand_lists,
+                          freq_lists, preds), runs))
 
     def finish(self):
         self._queue.put(None)
@@ -393,6 +510,30 @@ class StreamingCandidateCollector:
             raise RuntimeError("candidate collector failed") \
                 from self._error[0]
         return self._margin, self._dv
+
+
+def make_ordered_emitter(config: PipelineConfig, output_dir: str,
+                         intervals) -> _OrderedEmitter:
+    """Ordered-emission VCF writer for single-host streamed runs;
+    `intervals` must be (contig, start)-sorted (lexicographic)."""
+    os.makedirs(output_dir, exist_ok=True)
+    with FastaReader(config.fasta) as fa:
+        fasta_contigs = [(name, fa.get_chromosome_sequence_length(name))
+                         for name in fa.get_chromosome_names()]
+    writer = VCFWriteEngine(fasta_contigs, config.sample_name,
+                            output_dir if output_dir.endswith("/")
+                            else output_dir + "/")
+    return _OrderedEmitter(writer, config, intervals)
+
+
+def log_candidate_totals(totals, t0: float) -> None:
+    """The reference's stage-3 telemetry lines (FindCandidates.py:185-190)."""
+    _log(f"TOTAL CANDIDATES FOUND: {totals[0]}")
+    _log(f"TOTAL VARIANTS IN PEPPER: {totals[1]}")
+    _log(f"TOTAL VARIANTS SELECTED FOR RE-GENOTYPING: {totals[2]}")
+    _log(f"TOTAL SNP VARIANTS SELECTED FOR RE-GENOTYPING: {totals[3]}")
+    _log(f"TOTAL INDEL VARIANTS SELECTED FOR RE-GENOTYPING: {totals[4]}")
+    _log(f"TOTAL TIME SPENT ON CANDIDATE FINDING: {time.time() - t0:.1f}s")
 
 
 def _chunks(pairs: List, size: int) -> List[List]:
@@ -497,12 +638,7 @@ def finalize_candidates(config: PipelineConfig, output_dir: str,
                             else output_dir + "/")
     totals = writer.write_vcf_records(dv_candidates, config)
     writer.close()
-    _log(f"TOTAL CANDIDATES FOUND: {totals[0]}")
-    _log(f"TOTAL VARIANTS IN PEPPER: {totals[1]}")
-    _log(f"TOTAL VARIANTS SELECTED FOR RE-GENOTYPING: {totals[2]}")
-    _log(f"TOTAL SNP VARIANTS SELECTED FOR RE-GENOTYPING: {totals[3]}")
-    _log(f"TOTAL INDEL VARIANTS SELECTED FOR RE-GENOTYPING: {totals[4]}")
-    _log(f"TOTAL TIME SPENT ON CANDIDATE FINDING: {time.time() - t0:.1f}s")
+    log_candidate_totals(totals, t0)
     return writer.paths
 
 

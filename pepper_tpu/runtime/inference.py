@@ -131,7 +131,7 @@ def run_inference(config: PipelineConfig, image_dir: str,
 
         def flush(meta, probs):
             nonlocal batch_no
-            contigs, positions, depths, cand_lists, freqs, _ = meta
+            contigs, positions, depths, cand_lists, freqs = meta[:5]
             store.write_prediction(batch_no, contigs, positions, depths,
                                    cand_lists, freqs,
                                    np.asarray(probs)[:len(contigs)]

@@ -141,25 +141,40 @@ class _MetaBuffer:
         self.candidates: List[List[str]] = []
         self.freqs: List[np.ndarray] = []
         self.images: List[np.ndarray] = []
+        self.runs: List[List[int]] = []   # FIFO of [interval_idx, n_rows]
         self.rows = 0
 
-    def add(self, contig, positions, depths, candidates, freqs, images8):
+    def add(self, contig, positions, depths, candidates, freqs, images8,
+            interval_idx: int = -1):
         self.contigs.extend([contig] * len(positions))
         self.positions.append(positions)
         self.depths.append(depths)
         self.candidates.extend(candidates)
         self.freqs.append(freqs)
         self.images.append(images8)
+        self.runs.append([interval_idx, len(positions)])
         self.rows += len(positions)
 
     def take(self, n: int):
-        """Split off the first n rows as flat arrays."""
+        """Split off the first n rows as flat arrays (+ their interval-run
+        accounting, for the ordered stage-3 watermark)."""
         positions = np.concatenate(self.positions)
         depths = np.concatenate(self.depths)
         freqs = np.concatenate(self.freqs)
         images = np.concatenate(self.images)
+        batch_runs, rest_runs, left = [], [], n
+        for idx, k in self.runs:
+            if left >= k:
+                batch_runs.append((idx, k))
+                left -= k
+            elif left > 0:
+                batch_runs.append((idx, left))
+                rest_runs.append([idx, k - left])
+                left = 0
+            else:
+                rest_runs.append([idx, k])
         out = (self.contigs[:n], positions[:n], depths[:n],
-               self.candidates[:n], freqs[:n], images[:n])
+               self.candidates[:n], freqs[:n], images[:n], batch_runs)
         rest = _MetaBuffer()
         if n < self.rows:
             rest.contigs = self.contigs[n:]
@@ -168,6 +183,7 @@ class _MetaBuffer:
             rest.candidates = self.candidates[n:]
             rest.freqs = [freqs[n:]]
             rest.images = [images[n:]]
+            rest.runs = rest_runs
             rest.rows = self.rows - n
         return out, rest
 
@@ -211,8 +227,8 @@ def stream_inference(config: PipelineConfig, intervals,
                                max(config.batch_size, 4096))
     n_threads = max(1, config.threads)
     work: "queue.Queue" = queue.Queue()
-    for iv in intervals:
-        work.put(iv)
+    for item in enumerate(intervals):
+        work.put(item)
     results: "queue.Queue" = queue.Queue(maxsize=2 * n_threads)
     errors: List[BaseException] = []
 
@@ -224,13 +240,15 @@ def stream_inference(config: PipelineConfig, intervals,
                     FastaReader(config.fasta) as fasta:
                 while True:
                     try:
-                        chr_name, start, end = work.get_nowait()
+                        idx, (chr_name, start, end) = work.get_nowait()
                     except queue.Empty:
                         return
                     cands = create_region_summary(config, bam, fasta,
                                                   chr_name, start, end)
-                    if cands:
-                        results.put(_batch_fields(cands))
+                    # empty intervals are reported too: the ordered
+                    # stage-3 watermark accounts for every interval
+                    results.put(
+                        (idx, _batch_fields(cands) if cands else None))
         except BaseException as exc:  # fail loudly, never silently drop
             errors.append(exc)
             raise
@@ -254,7 +272,7 @@ def stream_inference(config: PipelineConfig, intervals,
 
     def flush(meta, probs):
         nonlocal batch_no
-        contigs, positions, depths, cand_lists, freqs, _ = meta
+        contigs, positions, depths, cand_lists, freqs, _, runs = meta
         n = len(contigs)
         probs_np = np.asarray(probs)[:n].astype(np.float64)
         store.write_prediction(batch_no, contigs, positions, depths,
@@ -262,7 +280,8 @@ def stream_inference(config: PipelineConfig, intervals,
         if candidate_collector is not None:
             candidate_collector.add(
                 contigs, positions, depths, cand_lists,
-                [[int(f)] for f in np.ravel(freqs).tolist()], probs_np)
+                [[int(f)] for f in np.ravel(freqs).tolist()], probs_np,
+                runs)
         batch_no += 1
 
     while done_sentinels < n_threads:
@@ -270,7 +289,13 @@ def stream_inference(config: PipelineConfig, intervals,
         if item is None:
             done_sentinels += 1
             continue
-        contig, positions, depths, cand_lists, freqs, images8 = item
+        interval_idx, fields = item
+        if candidate_collector is not None:
+            candidate_collector.note_interval(
+                interval_idx, len(fields[1]) if fields else 0)
+        if fields is None:
+            continue
+        contig, positions, depths, cand_lists, freqs, images8 = fields
         if image_store is not None and len(positions):
             name = (f"{contig}_{int(positions[0])}_{int(positions[-1])}"
                     f"_{batch_no}_{total}")
@@ -285,13 +310,16 @@ def stream_inference(config: PipelineConfig, intervals,
                 [c[0] for c in cand_lists], freqs, images8,
                 np.zeros(len(positions), np.int32),
                 np.zeros(len(positions), np.int32)))
-        buf.add(contig, positions, depths, cand_lists, freqs, images8)
+        buf.add(contig, positions, depths, cand_lists, freqs, images8,
+                interval_idx)
         total += len(positions)
         while buf.rows >= runner.batch:
             meta, buf = buf.take(runner.batch)
             pending.append((meta, runner.submit(meta[5])))
             # keep a few batches in flight: transfers/compute overlap the
-            # ongoing encode; draining early bounds host+device memory
+            # ongoing encode; draining early bounds host+device memory.
+            # (A tighter window or is_ready polling costs more than it
+            # saves on high-latency device links — each drain is a sync.)
             while len(pending) > 4:
                 flush(*pending.pop(0))
     for t in threads:

@@ -90,3 +90,40 @@ def test_streaming_propagates_encode_errors(dataset, tmp_path):
     config.bam = dataset["bam"] + ".does_not_exist"
     with pytest.raises((RuntimeError, FileNotFoundError, OSError)):
         call_variant(config)
+
+
+def test_streamed_ordered_emission_multi_contig(tmp_path_factory):
+    """Ordered VCF emission across contigs whose natural-sort order
+    (ctg2 < ctg10) differs from the lexicographic record order
+    (ctg10 < ctg2): the streamed single-host run must still be
+    byte-identical to the staged run, with ctg10's records first."""
+    from pepper_tpu.io.vcf import read_vcf
+
+    tmp = str(tmp_path_factory.mktemp("stream_mc"))
+    genomes = []
+    for i, name in enumerate(("ctg2", "ctg10")):
+        genomes.append((name, random_genome(30000, seed=60 + i)[0][1]))
+    variants = plant_variants(dict(genomes), 12, 3, 3, seed=62)
+    records = simulate_reads(genomes, variants, coverage=35, seed=63)
+    fasta, bam = write_dataset(tmp, genomes, records)
+    model = os.path.join(tmp, "model.npz")
+    params = init_variant_params(jax.random.PRNGKey(3))
+    save_checkpoint(model, jax.tree_util.tree_map(np.asarray, params), {})
+    ds = dict(tmp=tmp, fasta=fasta, bam=bam, model=model)
+
+    out_staged = tmp + "/out_staged/"
+    call_variant(_config(ds, out_staged, streaming=False))
+    out_streamed = tmp + "/out_streamed/"
+    call_variant(_config(ds, out_streamed))
+
+    staged, streamed = _vcf_bytes(out_staged), _vcf_bytes(out_streamed)
+    for name in staged:
+        assert staged[name] == streamed[name], f"{name} differs"
+
+    full = [p for p in glob.glob(out_streamed + "*.vcf.gz")
+            if "FULL" in p][0]
+    recs = read_vcf(full)
+    contig_order = [r.contig for r in recs]
+    assert set(contig_order) == {"ctg2", "ctg10"}
+    # lexicographic record order: every ctg10 record precedes every ctg2
+    assert contig_order == sorted(contig_order)
