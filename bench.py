@@ -227,31 +227,22 @@ def bench_polish(n_threads):
     out = cache + "/out"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
-    from pepper_tpu.polish.consensus import call_consensus
-    from pepper_tpu.polish.datastore import PolishImageStore
-    from pepper_tpu.polish.make_images import generate_polish_images
     from pepper_tpu.polish.stitch import perform_stitch
+    from pepper_tpu.polish.streaming import stream_polish
 
     t0 = time.time()
-    image_dir = out + "/images"
-    generate_polish_images(cache + "/reads.bam", cache + "/ref.fa",
-                           image_dir, threads=n_threads)
-    t_img = time.time() - t0
-    t0 = time.time()
     pred_dir = out + "/preds"
-    call_consensus(image_dir, model, pred_dir)
-    t_cons = time.time() - t0
+    os.makedirs(pred_dir)
+    n_seqs = stream_polish(cache + "/reads.bam", cache + "/ref.fa", model,
+                           pred_dir + "/pepper_prediction_0.hdf",
+                           threads=n_threads)
+    t_stream = time.time() - t0
     t0 = time.time()
     perform_stitch(pred_dir, out + "/polished", threads=n_threads)
     t_stitch = time.time() - t0
 
-    import glob
-    n_seqs = 0
-    for path in glob.glob(image_dir + "/*.hdf"):
-        with PolishImageStore(path, "r") as store:
-            n_seqs += len(store.summary_names())
-    dt = t_img + t_cons + t_stitch
-    return size / 1e6 / dt, (t_img, t_cons, t_stitch), n_seqs
+    dt = t_stream + t_stitch
+    return size / 1e6 / dt, (t_stream, t_stitch), n_seqs
 
 
 def torch_polish_window_inference(n_seqs):
@@ -428,18 +419,18 @@ def main():
     try:
         _, cold_split, _ = bench_polish(ncpu)        # cold: includes compile
         polish_mbps, split, n_seqs = bench_polish(ncpu)  # warm
-        t_img, t_cons, t_stitch = split
+        t_stream, t_stitch = split
         polish_dt = sum(split)
         cold_dt = sum(cold_split)
-        log(f"polish e2e (100kb draft): {polish_dt:.1f}s warm "
-            f"(images {t_img:.1f}s + consensus {t_cons:.1f}s + stitch "
-            f"{t_stitch:.1f}s) / {cold_dt:.1f}s cold (compile+load "
-            f"{cold_dt - polish_dt:.1f}s) -> {polish_mbps:.3f} Mbp/s "
-            f"({n_seqs} sequences)")
-        # reference-style polish deployment on this host: same (native)
-        # image gen + stitch, consensus = N 1-thread torch window loops
+        log(f"polish e2e (100kb draft): {polish_dt:.1f}s warm (streamed "
+            f"pileup+consensus {t_stream:.1f}s + stitch {t_stitch:.1f}s) / "
+            f"{cold_dt:.1f}s cold (compile+load {cold_dt - polish_dt:.1f}s) "
+            f"-> {polish_mbps:.3f} Mbp/s ({n_seqs} sequences)")
+        # reference-style polish deployment on this host: the staged image
+        # gen (~= our stream's host side) + stitch, consensus = N 1-thread
+        # torch window loops on top
         t_torch_polish = torch_polish_window_inference(n_seqs)
-        t_ref_polish = t_img + t_stitch + t_torch_polish / ncpu
+        t_ref_polish = t_stream + t_stitch + t_torch_polish / ncpu
         polish_vs = t_ref_polish / polish_dt
         log(f"torch-cpu polish window loop: {t_torch_polish:.1f}s 1-thread; "
             f"emulated {ncpu}-caller consensus {t_torch_polish / ncpu:.1f}s "

@@ -24,6 +24,14 @@ def build_parser() -> argparse.ArgumentParser:
     po.add_argument("-r", "--region", default=None)
     po.add_argument("-bs", "--batch_size", type=int, default=128)
     po.add_argument("--no_realignment", action="store_true", default=False)
+    po.add_argument("--no_streaming", dest="streaming", action="store_false",
+                    default=True,
+                    help="Disable the fused pileup+consensus stream; run "
+                         "staged stage 1 then stage 2 with a file barrier.")
+    po.add_argument("--keep_image_artifacts", action="store_true",
+                    default=False,
+                    help="In streaming mode, also write the stage-1 image "
+                         "HDF (as an artifact, not a barrier).")
 
     mi = sub.add_parser("make_images", help="Stage 1: pileup images.")
     mi.add_argument("-b", "--bam", required=True)
@@ -67,7 +75,9 @@ def main(argv=None) -> int:
         polish(args.bam, args.fasta, args.model_path, args.output_dir,
                region=args.region, threads=args.threads,
                batch_size=args.batch_size,
-               realignment=not args.no_realignment)
+               realignment=not args.no_realignment,
+               streaming=args.streaming,
+               keep_image_artifacts=args.keep_image_artifacts)
     elif args.sub_command == "make_images":
         from pepper_tpu.polish.make_images import generate_polish_images
         generate_polish_images(args.bam, args.fasta, args.output_dir,

@@ -19,7 +19,9 @@ def _log(msg: str) -> None:
 
 def polish(bam: str, fasta: str, model_path: str, output_dir: str,
            region: Optional[str] = None, threads: int = 1,
-           batch_size: int = 128, realignment: bool = True) -> str:
+           batch_size: int = 128, realignment: bool = True,
+           streaming: bool = True,
+           keep_image_artifacts: bool = False) -> str:
     start_time = time.time()
     if not output_dir.endswith("/"):
         output_dir += "/"
@@ -28,12 +30,29 @@ def polish(bam: str, fasta: str, model_path: str, output_dir: str,
     image_dir = output_dir + f"images_{timestr}/"
     prediction_dir = output_dir + f"predictions_{timestr}/"
 
-    _log("STEP 1/3 GENERATING IMAGES")
-    generate_polish_images(bam, fasta, image_dir, region=region,
-                           threads=threads, realignment_flag=realignment)
-    _log("STEP 2/3 RUNNING CONSENSUS INFERENCE")
-    call_consensus(image_dir, model_path, prediction_dir,
-                   batch_size=batch_size)
+    if streaming:
+        # fused stage 1+2 (polish/streaming.py): pileup encode streams
+        # into consensus inference with no file barrier; image HDF5s are
+        # optional artifacts. Stitch needs contig-complete predictions,
+        # so stage 3 stays post-hoc.
+        from pepper_tpu.polish.streaming import stream_polish
+        _log("STEP 1+2/3 STREAMING PILEUPS INTO CONSENSUS INFERENCE")
+        os.makedirs(prediction_dir, exist_ok=True)
+        image_store_path = None
+        if keep_image_artifacts:
+            os.makedirs(image_dir, exist_ok=True)
+            image_store_path = image_dir + "pepper_polish_images_streamed.hdf"
+        stream_polish(bam, fasta, model_path,
+                      prediction_dir + "pepper_prediction_0.hdf",
+                      image_store_path, region=region, threads=threads,
+                      batch_size=batch_size, realignment_flag=realignment)
+    else:
+        _log("STEP 1/3 GENERATING IMAGES")
+        generate_polish_images(bam, fasta, image_dir, region=region,
+                               threads=threads, realignment_flag=realignment)
+        _log("STEP 2/3 RUNNING CONSENSUS INFERENCE")
+        call_consensus(image_dir, model_path, prediction_dir,
+                       batch_size=batch_size)
     _log("STEP 3/3 STITCHING")
     out = perform_stitch(prediction_dir, output_dir + "PEPPER", threads)
     elapsed = time.time() - start_time

@@ -1,0 +1,174 @@
+"""Fused polish stages 1+2: pileup encode on host threads WHILE the chip
+runs the consensus window/vote graph.
+
+The staged driver (polish/pipeline.py) materializes every pileup image
+HDF5 before consensus starts — the chip idles for the whole host encode,
+exactly the barrier the variant side's runtime/streaming.py removed. Here
+producer threads run the fused native polish encoder (GIL released:
+fetch + downsample + realign + pileup in one C++ call), a bounded queue
+feeds fixed-shape device batches of 1000-length sequences, and the
+prediction store is written behind the device. Stitch stays post-hoc — it
+needs contig-complete predictions — but by then the store is already on
+disk, so its input artifact is unchanged: the streamed and staged
+pipelines produce identical polished FASTAs (CI-enforced,
+tests/test_polish.py).
+
+Image HDF5s become optional artifacts (`image_store_path`), as on the
+variant side — kept for stage re-runnability, never a barrier.
+"""
+import os
+import queue
+import sys
+import threading
+import time
+from datetime import datetime
+from typing import List, Optional
+
+import numpy as np
+
+from pepper_tpu.io.bam_reader import BamReader
+from pepper_tpu.io.fasta import FastaReader
+from pepper_tpu.polish.datastore import (PolishImageStore,
+                                         PolishPredictionStore)
+from pepper_tpu.polish.make_images import (build_polish_intervals,
+                                           create_polish_summary)
+
+
+def _log(msg: str) -> None:
+    sys.stderr.write("[" + datetime.now().strftime("%m-%d-%Y %H:%M:%S")
+                     + "] INFO: " + msg + "\n")
+    sys.stderr.flush()
+
+
+def _chunk_meta(region, positions_i, chunk_id):
+    """(position, index) arrays from either backend's chunk layout."""
+    if isinstance(positions_i, np.ndarray):     # native-path [N, 2] array
+        position, index = positions_i[:, 0], positions_i[:, 1]
+    else:                                       # oracle path: (pos, idx) pairs
+        position, index = (np.asarray(v) for v in zip(*positions_i))
+    contig, start, end = region
+    return (contig, start, end, chunk_id, position, index)
+
+
+def stream_polish(bam_file: str, draft_file: str, model_path: str,
+                  prediction_path: str,
+                  image_store_path: Optional[str] = None,
+                  region: Optional[str] = None, threads: int = 1,
+                  batch_size: int = 128,
+                  realignment_flag: bool = True) -> int:
+    """Encode 1kb draft intervals and run consensus inference concurrently;
+    writes the prediction store consumed by perform_stitch. Returns the
+    number of 1000-length sequences inferred."""
+    from pepper_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from pepper_tpu.polish.consensus import make_window_vote_fn
+    from pepper_tpu.runtime.inference import _load_model_params
+
+    params = jax.tree_util.tree_map(jnp.asarray,
+                                    _load_model_params(model_path))
+    vote_fn = make_window_vote_fn(params)
+
+    intervals = build_polish_intervals(draft_file, bam_file, region)
+    _log(f"TOTAL INTERVALS: {len(intervals)}")
+    n_threads = max(1, threads)
+    work: "queue.Queue" = queue.Queue()
+    for iv in intervals:
+        work.put(iv)
+    results: "queue.Queue" = queue.Queue(maxsize=2 * n_threads)
+    errors: List[BaseException] = []
+
+    def producer():
+        # share-nothing per thread: own BAM/FASTA handles; the fused
+        # native encoder releases the GIL for fetch+realign+pileup
+        try:
+            with BamReader(bam_file) as bam, \
+                    FastaReader(draft_file) as fasta:
+                while True:
+                    try:
+                        chr_name, start, end = work.get_nowait()
+                    except queue.Empty:
+                        return
+                    images, labels, positions, chunk_ids = \
+                        create_polish_summary(
+                            bam, fasta, chr_name, start, end,
+                            realignment_flag=realignment_flag)
+                    if images:
+                        results.put(((chr_name, start, end), images,
+                                     labels, positions, chunk_ids))
+        except BaseException as exc:  # fail loudly, never silently drop
+            errors.append(exc)
+            raise
+        finally:
+            results.put(None)  # one sentinel per producer
+
+    producers = [threading.Thread(target=producer, daemon=True)
+                 for _ in range(n_threads)]
+    t0 = time.time()
+    for t in producers:
+        t.start()
+
+    image_store = PolishImageStore(image_store_path, "w") \
+        if image_store_path else None
+    store = PolishPredictionStore(prediction_path, "w")
+    metas: list = []
+    images_buf: list = []
+    pending: list = []   # (metas, device_labels) in flight
+    done_sentinels = 0
+    total = 0
+
+    def submit(batch_metas, batch_images):
+        x = np.stack(batch_images)
+        if len(batch_images) < batch_size:
+            x = np.concatenate(
+                [x, np.zeros((batch_size - len(batch_images),) + x.shape[1:],
+                             x.dtype)])
+        labels, _phred = vote_fn(jnp.asarray(x))
+        return batch_metas, labels
+
+    def flush(batch_metas, labels):
+        labels = np.asarray(labels)[:len(batch_metas)]
+        for meta, base_labels in zip(batch_metas, labels):
+            contig, start, end, chunk_id, position, index = meta
+            store.write_prediction(contig, start, end, chunk_id,
+                                   position, index, base_labels)
+
+    while done_sentinels < n_threads:
+        item = results.get()
+        if item is None:
+            done_sentinels += 1
+            continue
+        region_tuple, imgs, labels_unused, positions, chunk_ids = item
+        for i, image in enumerate(imgs):
+            meta = _chunk_meta(region_tuple, positions[i], chunk_ids[i])
+            if image_store is not None:
+                contig, start, end = region_tuple
+                name = f"{contig}_{start}_{end}_{chunk_ids[i]}"
+                image_store.write_summary(region_tuple, image,
+                                          labels_unused[i], meta[4], meta[5],
+                                          chunk_ids[i], name)
+            metas.append(meta)
+            images_buf.append(np.asarray(image, np.uint8))
+            total += 1
+            if len(metas) == batch_size:
+                pending.append(submit(metas, images_buf))
+                metas, images_buf = [], []
+                while len(pending) > 2:
+                    flush(*pending.pop(0))
+    for t in producers:
+        t.join()
+    if errors:
+        raise RuntimeError(f"polish streaming shard failed: {errors[0]}") \
+            from errors[0]
+    if metas:
+        pending.append(submit(metas, images_buf))
+    for batch in pending:
+        flush(*batch)
+    store.close()
+    if image_store is not None:
+        image_store.close()
+    _log(f"STREAMED PILEUP+CONSENSUS: {total} SEQUENCES "
+         f"[{time.time() - t0:.1f}s]")
+    return total

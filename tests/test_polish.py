@@ -205,3 +205,43 @@ def test_stitch_v2_alignment_merge():
     c = ("c1", 80, 120, "GGGG")
     _, _, _, seq3 = alignment_stitch([a, ("c1", 70, 80, "AAAA")])
     assert seq3 == true[:60] + "AAAA"
+
+
+def test_polish_streamed_matches_staged(polish_dataset):
+    """The fused pileup->consensus stream (polish/streaming.py) produces a
+    polished FASTA identical to the staged images->consensus pipeline, and
+    its optional image artifact is a loadable stage-1 store."""
+    import glob
+
+    import jax
+
+    from pepper_tpu.models.checkpoint import save_checkpoint
+    from pepper_tpu.models.polish_model import init_polish_params
+    from pepper_tpu.polish.datastore import PolishImageStore
+    from pepper_tpu.polish.pipeline import polish
+
+    tmp = polish_dataset["tmp"]
+    model = tmp + "/stream_model.npz"
+    params = init_polish_params(jax.random.PRNGKey(5))
+    save_checkpoint(model, jax.tree_util.tree_map(np.asarray, params), {})
+
+    out_staged = polish(polish_dataset["bam"], polish_dataset["draft"],
+                        model, tmp + "/out_staged/", threads=2,
+                        streaming=False)
+    out_streamed = polish(polish_dataset["bam"], polish_dataset["draft"],
+                          model, tmp + "/out_streamed/", threads=2,
+                          streaming=True, keep_image_artifacts=True)
+    with open(out_staged) as fh:
+        staged = fh.read()
+    with open(out_streamed) as fh:
+        streamed = fh.read()
+    assert staged == streamed
+    assert len(staged) > 15000
+
+    artifacts = glob.glob(tmp + "/out_streamed/images_*/*.hdf")
+    assert artifacts, "keep_image_artifacts wrote no polish image HDF"
+    with PolishImageStore(artifacts[0], "r") as store:
+        names = store.summary_names()
+        assert names
+        s = store.read_summary(names[0])
+        assert s["image"].shape[0] == 1000
