@@ -127,3 +127,11 @@ def test_streamed_ordered_emission_multi_contig(tmp_path_factory):
     assert set(contig_order) == {"ctg2", "ctg10"}
     # lexicographic record order: every ctg10 record precedes every ctg2
     assert contig_order == sorted(contig_order)
+
+    # thread-count invariance: watermark emission must not depend on how
+    # intervals interleave across producer threads
+    out_t4 = tmp + "/out_streamed_t4/"
+    call_variant(_config(ds, out_t4, threads=4))
+    t4 = _vcf_bytes(out_t4)
+    for name in staged:
+        assert staged[name] == t4[name], f"{name} differs at threads=4"
