@@ -135,3 +135,26 @@ def test_streamed_ordered_emission_multi_contig(tmp_path_factory):
     t4 = _vcf_bytes(out_t4)
     for name in staged:
         assert staged[name] == t4[name], f"{name} differs at threads=4"
+
+
+def test_metabuffer_run_accounting():
+    """_MetaBuffer.take splits interval-run accounting exactly across
+    batch boundaries — the bookkeeping the ordered emitter's watermark
+    depends on."""
+    from pepper_tpu.runtime.streaming import _MetaBuffer
+
+    buf = _MetaBuffer()
+    for idx, n in ((7, 3), (2, 5), (9, 4)):
+        buf.add("c", np.arange(n), np.ones(n, np.int32),
+                [["1A"]] * n, np.ones(n, np.int32),
+                np.zeros((n, 33, 26), np.int8), idx)
+    assert buf.rows == 12
+    meta, rest = buf.take(5)
+    assert meta[6] == [(7, 3), (2, 2)]
+    assert rest.rows == 7 and rest.runs == [[2, 3], [9, 4]]
+    meta2, rest2 = rest.take(7)
+    assert meta2[6] == [(2, 3), (9, 4)]
+    assert rest2.rows == 0
+    # row payloads stay aligned with the accounting
+    assert list(meta[1]) == [0, 1, 2, 0, 1]
+    assert list(meta2[1]) == [2, 3, 4, 0, 1, 2, 3]
