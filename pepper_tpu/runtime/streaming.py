@@ -264,7 +264,6 @@ def stream_inference(config: PipelineConfig, intervals,
     image_store = ImageStore(image_store_path, "w") if image_store_path \
         else None
     buf = _MetaBuffer()
-    pending = []   # (meta_tuple, device_probs) in flight
     done_sentinels = 0
     total = 0
     store = PredictionStore(prediction_path, "w")
@@ -283,6 +282,27 @@ def stream_inference(config: PipelineConfig, intervals,
                 [[int(f)] for f in np.ravel(freqs).tolist()], probs_np,
                 runs)
         batch_no += 1
+
+    # a dedicated flusher thread owns the device->host sync: the main
+    # thread NEVER waits on a result (on high-latency links one D2H sync
+    # can stall the whole encode pipeline), yet the gates + ordered VCF
+    # emission keep pace with the stream instead of piling into the tail.
+    # The bounded queue caps in-flight batches (host+device memory).
+    flush_q: "queue.Queue" = queue.Queue(maxsize=6)
+
+    def flusher():
+        try:
+            while True:
+                item = flush_q.get()
+                if item is None:
+                    return
+                flush(*item)
+        except BaseException as exc:
+            errors.append(exc)
+            raise
+
+    flush_thread = threading.Thread(target=flusher, daemon=True)
+    flush_thread.start()
 
     while done_sentinels < n_threads:
         item = results.get()
@@ -315,23 +335,17 @@ def stream_inference(config: PipelineConfig, intervals,
         total += len(positions)
         while buf.rows >= runner.batch:
             meta, buf = buf.take(runner.batch)
-            pending.append((meta, runner.submit(meta[5])))
-            # keep a few batches in flight: transfers/compute overlap the
-            # ongoing encode; draining early bounds host+device memory.
-            # (A tighter window or is_ready polling costs more than it
-            # saves on high-latency device links — each drain is a sync.)
-            while len(pending) > 4:
-                flush(*pending.pop(0))
+            flush_q.put((meta, runner.submit(meta[5])))
     for t in threads:
         t.join()
-    if errors:
-        raise RuntimeError(f"streaming encode shard failed: {errors[0]}") \
-            from errors[0]
-    if buf.rows:
+    if buf.rows and not errors:
         meta, _ = buf.take(buf.rows)
-        pending.append((meta, runner.submit(meta[5])))
-    for meta, probs in pending:
-        flush(meta, probs)
+        flush_q.put((meta, runner.submit(meta[5])))
+    flush_q.put(None)
+    flush_thread.join()
+    if errors:
+        raise RuntimeError(f"streaming shard failed: {errors[0]}") \
+            from errors[0]
     store.close()
     if image_store is not None:
         image_store.close()
