@@ -257,7 +257,7 @@ class VCFWriteEngine:
 
     def candidate_list_to_variant(self, candidates, allowed_multiallelics: int):
         """Parity: VcfWriter.candidate_list_to_variant (VcfWriter.py:49-138)."""
-        if len(candidates) == 1:
+        if len(candidates) == 1 and allowed_multiallelics >= 1:
             # single-candidate site (the overwhelming majority): the sort,
             # truncation and ref-suffix normalization are all no-ops
             (contig, ref_start, _ref_end, ref_allele, alt_allele, _genotype,
@@ -371,8 +371,10 @@ class VCFWriteEngine:
 
         is_ref_call = genotype[0] == 0 and genotype[1] == 0
         selected_for_variant_calling = (is_ref_call or failed_variant)
-        inv_depth = 1.0 / max(1, depth)
-        vafs = [round(ad * inv_depth, 3) for ad in support]
+        # true division per allele — a reciprocal multiply differs in the
+        # last ulp and crosses round() boundaries (e.g. 3/80)
+        dp = max(1, depth)
+        vafs = [round(ad / dp, 3) for ad in support]
         filt = "refCall" if is_ref_call else "PASS"
 
         # str(qual) == format(qual, '.6g') for the int qual range here

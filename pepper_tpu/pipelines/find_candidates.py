@@ -482,11 +482,18 @@ class StreamingCandidateCollector:
                 if item is None:
                     break
                 batch, runs = item
-                n_dv = len(self._dv)
-                batch_candidates(self._config, span, *batch,
-                                 self._margin, self._dv)
                 if self._emitter is not None:
-                    self._emitter.gated(self._dv[n_dv:], runs)
+                    # ordered mode: records are written behind the device
+                    # and finish()'s lists go unused — keep only the
+                    # per-batch slice alive, not the whole genome's
+                    margin_batch: list = []
+                    dv_batch: list = []
+                    batch_candidates(self._config, span, *batch,
+                                     margin_batch, dv_batch)
+                    self._emitter.gated(dv_batch, runs)
+                else:
+                    batch_candidates(self._config, span, *batch,
+                                     self._margin, self._dv)
             fasta.close()
         except BaseException as exc:
             self._error.append(exc)

@@ -93,6 +93,18 @@ def make_window_vote_fn(params):
     return lambda images: jitted(cparams, images)
 
 
+def pad_consensus_batch(images: list, batch_size: int) -> np.ndarray:
+    """Stack a (possibly short) list of sequence images and zero-pad to the
+    fixed device batch, so one compilation serves the whole run. Shared by
+    the staged reader below and the fused stream (polish/streaming.py)."""
+    x = np.stack(images)
+    if len(images) < batch_size:
+        x = np.concatenate(
+            [x, np.zeros((batch_size - len(images),) + x.shape[1:],
+                         x.dtype)])
+    return x
+
+
 def call_consensus(image_dir: str, model_path: str, output_dir: str,
                    batch_size: int = 128) -> str:
     """Run consensus inference over all polish images; one prediction file."""
@@ -121,11 +133,7 @@ def call_consensus(image_dir: str, model_path: str, output_dir: str,
 
         def submit(metas, images):
             # ship uint8 (the store's native dtype); cast on device
-            x = np.stack(images)
-            if len(images) < batch_size:
-                x = np.concatenate(
-                    [x, np.zeros((batch_size - len(images),) + x.shape[1:],
-                                 x.dtype)])
+            x = pad_consensus_batch(images, batch_size)
             labels, _phred = vote_fn(jnp.asarray(x))
             return metas, labels
 

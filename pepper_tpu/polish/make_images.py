@@ -181,6 +181,16 @@ def create_polish_summary(bam: BamReader, fasta: FastaReader,
     return all_images, all_labels, all_positions, all_chunk_ids
 
 
+def split_position_index(positions_i):
+    """(position, index) halves of one chunk's coordinate payload, which is
+    an [N, 2] array on the native path and (pos, idx) pairs on the oracle
+    path. Shared by the staged worker and the fused stream."""
+    if isinstance(positions_i, np.ndarray):
+        return positions_i[:, 0], positions_i[:, 1]
+    position, index = zip(*positions_i)
+    return np.asarray(position), np.asarray(index)
+
+
 def _worker(args, all_intervals, total_threads: int, thread_id: int) -> int:
     (output_path, bam_file, draft_file, truth_bam_file, train_mode,
      downsample_rate, realignment_flag) = args
@@ -199,11 +209,7 @@ def _worker(args, all_intervals, total_threads: int, thread_id: int) -> int:
                     downsample_rate, realignment_flag)
                 region = (chr_name, start, end)
                 for i, image in enumerate(images):
-                    pos_i = positions[i]
-                    if isinstance(pos_i, np.ndarray):  # native-path arrays
-                        position, index = pos_i[:, 0], pos_i[:, 1]
-                    else:
-                        position, index = zip(*pos_i)
+                    position, index = split_position_index(positions[i])
                     name = f"{chr_name}_{start}_{end}_{chunk_ids[i]}"
                     store.write_summary(region, image, labels[i], position,
                                         index, chunk_ids[i], name)

@@ -31,7 +31,8 @@ from pepper_tpu.io.fasta import FastaReader
 from pepper_tpu.polish.datastore import (PolishImageStore,
                                          PolishPredictionStore)
 from pepper_tpu.polish.make_images import (build_polish_intervals,
-                                           create_polish_summary)
+                                           create_polish_summary,
+                                           split_position_index)
 
 
 def _log(msg: str) -> None:
@@ -41,11 +42,8 @@ def _log(msg: str) -> None:
 
 
 def _chunk_meta(region, positions_i, chunk_id):
-    """(position, index) arrays from either backend's chunk layout."""
-    if isinstance(positions_i, np.ndarray):     # native-path [N, 2] array
-        position, index = positions_i[:, 0], positions_i[:, 1]
-    else:                                       # oracle path: (pos, idx) pairs
-        position, index = (np.asarray(v) for v in zip(*positions_i))
+    """Flat chunk metadata tuple with (position, index) arrays."""
+    position, index = split_position_index(positions_i)
     contig, start, end = region
     return (contig, start, end, chunk_id, position, index)
 
@@ -120,12 +118,9 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
     total = 0
 
     def submit(batch_metas, batch_images):
-        x = np.stack(batch_images)
-        if len(batch_images) < batch_size:
-            x = np.concatenate(
-                [x, np.zeros((batch_size - len(batch_images),) + x.shape[1:],
-                             x.dtype)])
-        labels, _phred = vote_fn(jnp.asarray(x))
+        from pepper_tpu.polish.consensus import pad_consensus_batch
+        labels, _phred = vote_fn(jnp.asarray(
+            pad_consensus_batch(batch_images, batch_size)))
         return batch_metas, labels
 
     def flush(batch_metas, labels):

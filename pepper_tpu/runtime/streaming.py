@@ -231,6 +231,15 @@ def stream_inference(config: PipelineConfig, intervals,
         work.put(item)
     results: "queue.Queue" = queue.Queue(maxsize=2 * n_threads)
     errors: List[BaseException] = []
+    stop = threading.Event()   # set on any failure: unblocks every thread
+
+    def _put_result(item) -> None:
+        while not stop.is_set():
+            try:
+                results.put(item, timeout=0.5)
+                return
+            except queue.Full:
+                continue
 
     def producer():
         # share-nothing per thread: own BAM/FASTA handles (the native
@@ -238,7 +247,7 @@ def stream_inference(config: PipelineConfig, intervals,
         try:
             with BamReader(config.bam) as bam, \
                     FastaReader(config.fasta) as fasta:
-                while True:
+                while not stop.is_set():
                     try:
                         idx, (chr_name, start, end) = work.get_nowait()
                     except queue.Empty:
@@ -247,13 +256,13 @@ def stream_inference(config: PipelineConfig, intervals,
                                                   chr_name, start, end)
                     # empty intervals are reported too: the ordered
                     # stage-3 watermark accounts for every interval
-                    results.put(
+                    _put_result(
                         (idx, _batch_fields(cands) if cands else None))
         except BaseException as exc:  # fail loudly, never silently drop
             errors.append(exc)
             raise
         finally:
-            results.put(None)  # one sentinel per producer
+            _put_result(None)  # one sentinel per producer
 
     threads = [threading.Thread(target=producer, daemon=True)
                for _ in range(n_threads)]
@@ -304,43 +313,61 @@ def stream_inference(config: PipelineConfig, intervals,
     flush_thread = threading.Thread(target=flusher, daemon=True)
     flush_thread.start()
 
-    while done_sentinels < n_threads:
-        item = results.get()
-        if item is None:
-            done_sentinels += 1
-            continue
-        interval_idx, fields = item
-        if candidate_collector is not None:
-            candidate_collector.note_interval(
-                interval_idx, len(fields[1]) if fields else 0)
-        if fields is None:
-            continue
-        contig, positions, depths, cand_lists, freqs, images8 = fields
-        if image_store is not None and len(positions):
-            name = (f"{contig}_{int(positions[0])}_{int(positions[-1])}"
-                    f"_{batch_no}_{total}")
-            from pepper_tpu.encode.region_encoder import CandidateBatch
-            # the kept-image artifact stores one allele per row; lossless
-            # because the encoder emits exactly one allele per candidate
-            # row (region_encoder.py:73,391) — fail loudly if that changes
-            assert all(len(c) == 1 for c in cand_lists), \
-                "streamed image artifact assumes one allele per row"
-            image_store.write_summary(name, CandidateBatch(
-                contig, positions, depths,
-                [c[0] for c in cand_lists], freqs, images8,
-                np.zeros(len(positions), np.int32),
-                np.zeros(len(positions), np.int32)))
-        buf.add(contig, positions, depths, cand_lists, freqs, images8,
-                interval_idx)
-        total += len(positions)
-        while buf.rows >= runner.batch:
-            meta, buf = buf.take(runner.batch)
-            flush_q.put((meta, runner.submit(meta[5])))
-    for t in threads:
-        t.join()
-    if buf.rows and not errors:
-        meta, _ = buf.take(buf.rows)
-        flush_q.put((meta, runner.submit(meta[5])))
+    def _put_flush(item) -> None:
+        # never block forever on a dead flusher: surface its error instead
+        while True:
+            if errors:
+                raise RuntimeError(
+                    f"streaming shard failed: {errors[0]}") from errors[0]
+            try:
+                flush_q.put(item, timeout=1.0)
+                return
+            except queue.Full:
+                continue
+
+    try:
+        while done_sentinels < n_threads:
+            item = results.get()
+            if item is None:
+                done_sentinels += 1
+                continue
+            interval_idx, fields = item
+            if candidate_collector is not None:
+                candidate_collector.note_interval(
+                    interval_idx, len(fields[1]) if fields else 0)
+            if fields is None:
+                continue
+            contig, positions, depths, cand_lists, freqs, images8 = fields
+            if image_store is not None and len(positions):
+                # `total` is unique and monotonic on this thread (batch_no
+                # belongs to the flusher thread — do not read it here)
+                name = (f"{contig}_{int(positions[0])}"
+                        f"_{int(positions[-1])}_{total}")
+                from pepper_tpu.encode.region_encoder import CandidateBatch
+                # the kept-image artifact stores one allele per row;
+                # lossless because the encoder emits exactly one allele per
+                # candidate row (region_encoder.py:73,391) — fail loudly if
+                # that changes
+                assert all(len(c) == 1 for c in cand_lists), \
+                    "streamed image artifact assumes one allele per row"
+                image_store.write_summary(name, CandidateBatch(
+                    contig, positions, depths,
+                    [c[0] for c in cand_lists], freqs, images8,
+                    np.zeros(len(positions), np.int32),
+                    np.zeros(len(positions), np.int32)))
+            buf.add(contig, positions, depths, cand_lists, freqs, images8,
+                    interval_idx)
+            total += len(positions)
+            while buf.rows >= runner.batch:
+                meta, buf = buf.take(runner.batch)
+                _put_flush((meta, runner.submit(meta[5])))
+        for t in threads:
+            t.join()
+        if buf.rows and not errors:
+            meta, _ = buf.take(buf.rows)
+            _put_flush((meta, runner.submit(meta[5])))
+    finally:
+        stop.set()   # unblock any producer still waiting on the queues
     flush_q.put(None)
     flush_thread.join()
     if errors:

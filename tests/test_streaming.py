@@ -158,3 +158,18 @@ def test_metabuffer_run_accounting():
     # row payloads stay aligned with the accounting
     assert list(meta[1]) == [0, 1, 2, 0, 1]
     assert list(meta2[1]) == [2, 3, 4, 0, 1, 2, 3]
+
+
+def test_streaming_flusher_errors_surface(dataset, tmp_path, monkeypatch):
+    """A failure on the flusher thread (prediction-store write, collector
+    handoff) must surface as the stream's error — not hang the pipeline or
+    be swallowed."""
+    from pepper_tpu.pipelines import datastore as ds_mod
+
+    def boom(self, *a, **k):
+        raise OSError("disk full (simulated)")
+
+    monkeypatch.setattr(ds_mod.PredictionStore, "write_prediction", boom)
+    config = _config(dataset, str(tmp_path) + "/out/")
+    with pytest.raises(RuntimeError, match="disk full|streaming"):
+        call_variant(config)
