@@ -606,3 +606,119 @@ def test_reference_composed_polish_image_to_fasta_differential(tmp_path,
     # untrained weights map many positions to the gap label, so the
     # polished sequence is shorter than the draft — but far from empty
     assert len(ours_seq) > 5000
+
+
+@pytest.mark.slow
+def test_reference_composed_hp_image_to_vcf_differential(tmp_path,
+                                                         monkeypatch):
+    """The composed acceptance differential for PEPPER-HP: the reference's
+    OWN torch TransducerGRU at image_features=48 (the reference's HP
+    configuration, predict_distributed_cpu.py:162-165) + the reference's
+    OWN small_chunk_stitch run over the SAME 48-feature dual-haplotype
+    image HDF5 our HP pipeline consumes, and must yield record-identical
+    VCFs to our stage-2->3->VCF pipeline.
+
+    Reference quirk: TransducerGRU sizes linear_1 from the GLOBAL
+    ImageSizeOptions.CANDIDATE_WINDOW_SIZE (33, simple_model.py:35) even
+    though HP windows are ImageSizeOptionsHP.CANDIDATE_WINDOW_SIZE+1 = 21
+    wide (Options.py:22, AlignmentSummarizerHP.py:155) — an HP-compatible
+    torch model only exists with that constant patched to the HP width,
+    which is what we do here (our own model sizes itself from the data)."""
+    import types
+
+    _install_build_stub()
+    import pepper_variant.modules.python.CandidateFinder as ref_cf
+    _install_h5py_shim(ref_cf)
+    import pepper_variant.modules.python.models.simple_model as ref_sm
+    from pepper_variant.modules.python.CandidateFinder import \
+        small_chunk_stitch as ref_stitch
+    monkeypatch.setattr(ref_sm.ImageSizeOptions, "CANDIDATE_WINDOW_SIZE", 20)
+    TransducerGRU = ref_sm.TransducerGRU
+
+    from pepper_tpu.io.fasta import FastaReader
+    from pepper_tpu.io.vcf import VCFWriteEngine, read_vcf
+    from pepper_tpu.options import ImageOptionsHP, PipelineConfig
+    from pepper_tpu.pipelines.datastore import PredictionStore
+    from pepper_tpu.pipelines.find_candidates import (aggregate_candidates,
+                                                      process_candidates)
+    from pepper_tpu.pipelines.make_images import generate_images
+    from pepper_tpu.presets import set_parameters
+    from pepper_tpu.runtime.inference import load_all_summaries, run_inference
+    from tests.util.synth import (plant_variants, random_genome,
+                                  simulate_reads, write_dataset)
+
+    tmp = str(tmp_path)
+    genome = random_genome(30000, seed=91)
+    variants = plant_variants(dict(genome), 12, 3, 3, seed=92)
+    records = simulate_reads(genome, variants, coverage=30, seed=93,
+                             hp_tags=True)
+    fasta, bam = write_dataset(tmp, genome, records)
+
+    config = set_parameters(PipelineConfig(
+        bam=bam, fasta=fasta, output_dir=tmp + "/",
+        sub_command="call_variant", ont_r9_guppy5_sup=True, threads=1,
+        region_size=10000, use_hp_info=True,
+        image_output_directory=tmp + "/images/"))
+    generate_images(config)
+
+    window_hp = ImageOptionsHP.CANDIDATE_WINDOW_SIZE + 1
+    m = TransducerGRU(image_features=48, gru_layers=1, hidden_size=256,
+                      num_classes=28, num_classes_type=3).eval()
+    ckpt = tmp + "/ref_hp_model.pkl"
+    torch.save({"model_state_dict": m.state_dict(), "model_optimizer": {},
+                "hidden_size": 256, "gru_layers": 1, "epochs": 1}, ckpt)
+    config.model_path = ckpt
+
+    # ---- ours: staged stage 2 + stage 3 + VCF write ----
+    pred_dir = tmp + "/preds/"
+    run_inference(config, config.image_output_directory, pred_dir)
+    ours_paths = process_candidates(config, pred_dir, tmp + "/out_ours/")
+
+    # ---- composed reference ----
+    data = load_all_summaries(config.image_output_directory)
+    assert data["images"].shape[1:] == (window_hp, 48)
+    with torch.no_grad():
+        probs = m(torch.from_numpy(
+            data["images"].astype(np.float32))).numpy()
+    ref_pred = tmp + "/ref_preds.hdf"
+    freqs = [[int(np.atleast_1d(f)[0])] for f in data["candidate_frequency"]]
+    with PredictionStore(ref_pred, "w") as store:
+        store.write_prediction(0, data["contigs"], data["positions"],
+                               data["depths"], data["candidates"], freqs,
+                               probs.astype(np.float64))
+    options = types.SimpleNamespace(
+        fasta=fasta, snp_p_value=config.snp_p_value,
+        insert_p_value=config.insert_p_value,
+        delete_p_value=config.delete_p_value,
+        snp_p_value_in_lc=config.snp_p_value_in_lc,
+        insert_p_value_in_lc=config.insert_p_value_in_lc,
+        delete_p_value_in_lc=config.delete_p_value_in_lc,
+        report_snp_above_freq=config.report_snp_above_freq,
+        report_indel_above_freq=config.report_indel_above_freq)
+    ref_margin, ref_dv = ref_stitch(options, [(ref_pred, "batch_0")])
+    assert len(ref_dv) > 10, "composed HP path found no candidates"
+    _contigs, _margin, dv_candidates = aggregate_candidates(ref_margin,
+                                                            ref_dv)
+    with FastaReader(fasta) as fa:
+        fasta_contigs = [(n, fa.get_chromosome_sequence_length(n))
+                         for n in fa.get_chromosome_names()]
+    out_ref = tmp + "/out_ref/"
+    os.makedirs(out_ref)
+    writer = VCFWriteEngine(fasta_contigs, config.sample_name, out_ref)
+    writer.write_vcf_records(dv_candidates, config)
+    writer.close()
+    ref_paths = writer.paths
+
+    assert set(ours_paths) == set(ref_paths)
+    compared = 0
+    for key in ours_paths:
+        ours = read_vcf(ours_paths[key])
+        ref = read_vcf(ref_paths[key])
+        assert len(ours) == len(ref), key
+        for a, b in zip(ours, ref):
+            assert (a.contig, a.pos, a.ref, tuple(a.alts)) == \
+                (b.contig, b.pos, b.ref, tuple(b.alts)), (key, a, b)
+            assert a.genotype() == b.genotype(), (key, a, b)
+            assert abs(float(a.qual) - float(b.qual)) <= 0.05, (key, a, b)
+            compared += 1
+    assert compared > 10
