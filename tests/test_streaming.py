@@ -160,10 +160,13 @@ def test_metabuffer_run_accounting():
     assert list(meta2[1]) == [2, 3, 4, 0, 1, 2, 3]
 
 
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
 def test_streaming_flusher_errors_surface(dataset, tmp_path, monkeypatch):
     """A failure on the flusher thread (prediction-store write, collector
     handoff) must surface as the stream's error — not hang the pipeline or
-    be swallowed."""
+    be swallowed. (The thread ALSO re-raises by design — fail loudly with
+    a traceback at the failure point — hence the filtered warning.)"""
     from pepper_tpu.pipelines import datastore as ds_mod
 
     def boom(self, *a, **k):
