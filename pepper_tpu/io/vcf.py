@@ -9,6 +9,7 @@ PEPPER / VARIANT_CALLING(+_SNPs/_INDEL) — emitting bgzipped VCF text with a
 TBI (tabix) index built inline from the record coordinates.
 """
 import math
+import os
 import struct
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -201,6 +202,19 @@ class IndexedVcfWriter:
     def close(self):
         self._bgzf.close()
         self._tabix.write(self.path + ".tbi")
+
+    def abort(self):
+        """Failure-path cleanup: close the stream and delete the partial
+        output instead of leaving a truncated .vcf.gz with no index."""
+        try:
+            self._bgzf.close()
+        except Exception:
+            pass
+        for p in (self.path, self.path + ".tbi"):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
 
 # ----------------------------------------------------------- 5-file engine
@@ -412,3 +426,8 @@ class VCFWriteEngine:
     def close(self):
         for f in self.files.values():
             f.close()
+
+    def abort(self):
+        """Delete all 5 partial outputs on the failure path."""
+        for f in self.files.values():
+            f.abort()

@@ -104,11 +104,18 @@ def call_variant(config: PipelineConfig) -> dict:
             emitter = make_ordered_emitter(config, output_dir, intervals)
         collector = StreamingCandidateCollector(config, emitter)
         t3 = time.time()
-        with stage("stream_encode_inference"):
-            stream_inference(config, intervals, prediction_path,
-                             image_store_path,
-                             candidate_collector=collector)
-        margin_all, dv_all = collector.finish()
+        try:
+            with stage("stream_encode_inference"):
+                stream_inference(config, intervals, prediction_path,
+                                 image_store_path,
+                                 candidate_collector=collector)
+            margin_all, dv_all = collector.finish()
+        except BaseException:
+            # a crashed stream must not leave truncated .vcf.gz files with
+            # no .tbi looking like real output — delete the partials
+            if emitter is not None:
+                emitter.abort()
+            raise
         with stage("find_candidates"):
             if emitter is not None:
                 totals, vcf_paths = emitter.finish()

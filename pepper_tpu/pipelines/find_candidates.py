@@ -447,6 +447,11 @@ class _OrderedEmitter:
         self.writer.close()
         return self.writer.totals, self.writer.paths
 
+    def abort(self) -> None:
+        """Failure path: delete the 5 partial VCF outputs so a crashed
+        stream never leaves plausible-looking but corrupt artifacts."""
+        self.writer.abort()
+
 
 class StreamingCandidateCollector:
     """Stage-3 consumer running concurrently with the fused stage 1+2
@@ -497,21 +502,40 @@ class StreamingCandidateCollector:
             fasta.close()
         except BaseException as exc:
             self._error.append(exc)
+            # unblock any producer stuck in a full-queue put: once _error
+            # is set, add()'s timeout loop surfaces it — but only after
+            # its pending put stops blocking, so drain what's left
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except Exception:
+                pass
 
     def note_interval(self, idx: int, n_rows: int) -> None:
         if self._emitter is not None:
             self._emitter.note_interval(idx, n_rows)
 
+    def _checked_put(self, item) -> None:
+        """Timeout-put that rechecks _error: a dead collector thread with a
+        full queue must surface its failure, never hang the flusher."""
+        import queue as _queue
+        while True:
+            if self._error:
+                raise RuntimeError("candidate collector failed") \
+                    from self._error[0]
+            try:
+                self._queue.put(item, timeout=0.5)
+                return
+            except _queue.Full:
+                continue
+
     def add(self, contigs, positions, depths, cand_lists, freq_lists,
             preds, runs=()) -> None:
-        if self._error:
-            raise RuntimeError("candidate collector failed") \
-                from self._error[0]
-        self._queue.put(((contigs, positions, depths, cand_lists,
-                          freq_lists, preds), runs))
+        self._checked_put(((contigs, positions, depths, cand_lists,
+                            freq_lists, preds), runs))
 
     def finish(self):
-        self._queue.put(None)
+        self._checked_put(None)
         self._thread.join()
         if self._error:
             raise RuntimeError("candidate collector failed") \
@@ -552,12 +576,18 @@ def collect_candidate_lists(config: PipelineConfig,
     """Raw (margin, dv) candidate lists over (file, batch) pairs, fanned out
     over the process pool (CandidateFinder.find_candidates:532-547)."""
     margin_all, dv_all = [], []
-    # the pool pays fork + result-pickling costs; below ~4 batches per
-    # worker a single pass through the (already vectorized) loop is faster
+    # the pool pays spawn + result-pickling costs; below ~4 batches per
+    # worker a single pass through the (already vectorized) loop is faster.
+    # spawn (not fork!): in staged call_variant runs this executes AFTER
+    # device inference initialized JAX, and forking a process that holds
+    # live JAX/XLA runtime state deadlocks (same class of bug round 2
+    # flagged for image-gen) — spawn starts clean interpreters
     if config.threads > 1 and len(pairs) >= 4 * config.threads:
+        import multiprocessing
         chunk_size = max(2, len(pairs) // config.threads + 1)
         with concurrent.futures.ProcessPoolExecutor(
-                max_workers=config.threads) as pool:
+                max_workers=config.threads,
+                mp_context=multiprocessing.get_context("spawn")) as pool:
             futures = [pool.submit(small_chunk_stitch, config, c)
                        for c in _chunks(pairs, chunk_size)]
             for fut in concurrent.futures.as_completed(futures):

@@ -77,6 +77,19 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
         work.put(iv)
     results: "queue.Queue" = queue.Queue(maxsize=2 * n_threads)
     errors: List[BaseException] = []
+    stop = threading.Event()   # set when the consumer exits: unblocks puts
+
+    def _put_result(item) -> None:
+        # checked put: if the consumer loop died (device error, HDF5 write
+        # failure), producers must not block forever against the bounded
+        # queue — they give up once `stop` is set (mirrors
+        # runtime/streaming.py's variant-side stream)
+        while not stop.is_set():
+            try:
+                results.put(item, timeout=0.5)
+                return
+            except queue.Full:
+                continue
 
     def producer():
         # share-nothing per thread: own BAM/FASTA handles; the fused
@@ -84,7 +97,7 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
         try:
             with BamReader(bam_file) as bam, \
                     FastaReader(draft_file) as fasta:
-                while True:
+                while not stop.is_set():
                     try:
                         chr_name, start, end = work.get_nowait()
                     except queue.Empty:
@@ -94,13 +107,13 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
                             bam, fasta, chr_name, start, end,
                             realignment_flag=realignment_flag)
                     if images:
-                        results.put(((chr_name, start, end), images,
+                        _put_result(((chr_name, start, end), images,
                                      labels, positions, chunk_ids))
         except BaseException as exc:  # fail loudly, never silently drop
             errors.append(exc)
             raise
         finally:
-            results.put(None)  # one sentinel per producer
+            _put_result(None)  # one sentinel per producer
 
     producers = [threading.Thread(target=producer, daemon=True)
                  for _ in range(n_threads)]
@@ -130,28 +143,31 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
             store.write_prediction(contig, start, end, chunk_id,
                                    position, index, base_labels)
 
-    while done_sentinels < n_threads:
-        item = results.get()
-        if item is None:
-            done_sentinels += 1
-            continue
-        region_tuple, imgs, labels_unused, positions, chunk_ids = item
-        for i, image in enumerate(imgs):
-            meta = _chunk_meta(region_tuple, positions[i], chunk_ids[i])
-            if image_store is not None:
-                contig, start, end = region_tuple
-                name = f"{contig}_{start}_{end}_{chunk_ids[i]}"
-                image_store.write_summary(region_tuple, image,
-                                          labels_unused[i], meta[4], meta[5],
-                                          chunk_ids[i], name)
-            metas.append(meta)
-            images_buf.append(np.asarray(image, np.uint8))
-            total += 1
-            if len(metas) == batch_size:
-                pending.append(submit(metas, images_buf))
-                metas, images_buf = [], []
-                while len(pending) > 2:
-                    flush(*pending.pop(0))
+    try:
+        while done_sentinels < n_threads:
+            item = results.get()
+            if item is None:
+                done_sentinels += 1
+                continue
+            region_tuple, imgs, labels_unused, positions, chunk_ids = item
+            for i, image in enumerate(imgs):
+                meta = _chunk_meta(region_tuple, positions[i], chunk_ids[i])
+                if image_store is not None:
+                    contig, start, end = region_tuple
+                    name = f"{contig}_{start}_{end}_{chunk_ids[i]}"
+                    image_store.write_summary(region_tuple, image,
+                                              labels_unused[i], meta[4],
+                                              meta[5], chunk_ids[i], name)
+                metas.append(meta)
+                images_buf.append(np.asarray(image, np.uint8))
+                total += 1
+                if len(metas) == batch_size:
+                    pending.append(submit(metas, images_buf))
+                    metas, images_buf = [], []
+                    while len(pending) > 2:
+                        flush(*pending.pop(0))
+    finally:
+        stop.set()   # consumer exiting (normally or not): unblock producers
     for t in producers:
         t.join()
     if errors:

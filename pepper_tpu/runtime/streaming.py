@@ -157,11 +157,33 @@ class _MetaBuffer:
 
     def take(self, n: int):
         """Split off the first n rows as flat arrays (+ their interval-run
-        accounting, for the ordered stage-3 watermark)."""
-        positions = np.concatenate(self.positions)
-        depths = np.concatenate(self.depths)
-        freqs = np.concatenate(self.freqs)
-        images = np.concatenate(self.images)
+        accounting, for the ordered stage-3 watermark).
+
+        O(n) per take, not O(buffer): whole chunks are moved into the batch
+        and only the boundary chunk is split; the remainder keeps its chunk
+        list without being re-concatenated (the old implementation
+        flattened the entire buffer on every take)."""
+        pos_out, dep_out, frq_out, img_out = [], [], [], []
+        got = 0
+        while got < n:
+            k = len(self.positions[0])
+            if got + k <= n:
+                pos_out.append(self.positions.pop(0))
+                dep_out.append(self.depths.pop(0))
+                frq_out.append(self.freqs.pop(0))
+                img_out.append(self.images.pop(0))
+                got += k
+            else:
+                need = n - got
+                pos_out.append(self.positions[0][:need])
+                dep_out.append(self.depths[0][:need])
+                frq_out.append(self.freqs[0][:need])
+                img_out.append(self.images[0][:need])
+                self.positions[0] = self.positions[0][need:]
+                self.depths[0] = self.depths[0][need:]
+                self.freqs[0] = self.freqs[0][need:]
+                self.images[0] = self.images[0][need:]
+                got = n
         batch_runs, rest_runs, left = [], [], n
         for idx, k in self.runs:
             if left >= k:
@@ -173,16 +195,17 @@ class _MetaBuffer:
                 left = 0
             else:
                 rest_runs.append([idx, k])
-        out = (self.contigs[:n], positions[:n], depths[:n],
-               self.candidates[:n], freqs[:n], images[:n], batch_runs)
+        out = (self.contigs[:n], np.concatenate(pos_out),
+               np.concatenate(dep_out), self.candidates[:n],
+               np.concatenate(frq_out), np.concatenate(img_out), batch_runs)
         rest = _MetaBuffer()
         if n < self.rows:
             rest.contigs = self.contigs[n:]
-            rest.positions = [positions[n:]]
-            rest.depths = [depths[n:]]
+            rest.positions = self.positions
+            rest.depths = self.depths
             rest.candidates = self.candidates[n:]
-            rest.freqs = [freqs[n:]]
-            rest.images = [images[n:]]
+            rest.freqs = self.freqs
+            rest.images = self.images
             rest.runs = rest_runs
             rest.rows = self.rows - n
         return out, rest
@@ -368,7 +391,15 @@ def stream_inference(config: PipelineConfig, intervals,
             _put_flush((meta, runner.submit(meta[5])))
     finally:
         stop.set()   # unblock any producer still waiting on the queues
-    flush_q.put(None)
+    # checked sentinel delivery: a dead flusher (its error already in
+    # `errors`) may leave flush_q full — never block forever on it, fall
+    # through to the raise below instead
+    while flush_thread.is_alive():
+        try:
+            flush_q.put(None, timeout=0.2)
+            break
+        except queue.Full:
+            continue
     flush_thread.join()
     if errors:
         raise RuntimeError(f"streaming shard failed: {errors[0]}") \

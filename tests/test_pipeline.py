@@ -172,6 +172,47 @@ def test_region_bed_restricts_output(tmp_path, dataset):
         assert (v.contig, v.pos) in by_pos
 
 
+def test_stage3_pool_after_jax_init(tmp_path, dataset):
+    """Staged stage 3's process pool must be fork-safe: it runs AFTER
+    device inference initialized JAX in the parent. The pool uses a spawn
+    context (find_candidates.collect_candidate_lists); with fork it can
+    deadlock on XLA runtime state. Asserts the pooled result matches the
+    serial path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from pepper_tpu.pipelines import find_candidates as fc
+    from pepper_tpu.pipelines.datastore import (PredictionStore,
+                                                iter_prediction_batches)
+
+    # initialize JAX in this process (the hazard the spawn context avoids)
+    jax.jit(lambda x: x + 1)(jnp.ones((4,))).block_until_ready()
+
+    pred_path = str(tmp_path / "preds.hdf")
+    rng = np.random.default_rng(31)
+    with PredictionStore(pred_path, "w") as store:
+        for b in range(16):
+            positions = np.arange(200 + 400 * b, 200 + 400 * b + 3)
+            n = len(positions)
+            preds = np.full((n, 3), 0.01)
+            preds[:, 1] = 0.98
+            store.write_prediction(
+                b, ["contig1"] * n, positions,
+                np.full(n, 30, np.uint8),
+                [[ "1" + "ACGT"[int(rng.integers(4))] ] for _ in range(n)],
+                np.full((n, 1), 25, np.uint8), preds)
+
+    config = make_config(dataset, threads=2)
+    pairs = list(iter_prediction_batches([pred_path]))
+    assert len(pairs) >= 4 * config.threads, "pool path must be exercised"
+    pooled = fc.collect_candidate_lists(config, pairs)
+    config.threads = 1
+    serial = fc.collect_candidate_lists(config, pairs)
+    assert sorted(pooled[0]) == sorted(serial[0])
+    assert sorted(pooled[1]) == sorted(serial[1])
+    assert pooled[1], "synthetic batches should produce DV candidates"
+
+
 def test_vectorized_gates_match_scalar_loop(tmp_path):
     """The single-allele vectorized gate fast path (find_candidates.py)
     produces exactly the same (margin, deepvariant) lists as the scalar
