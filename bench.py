@@ -32,13 +32,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-# dataset scale knob: PEPPER_BENCH_MBP=10 runs the same pipeline on a
-# 10x genome (scaling experiments); the driver's default stays 1 Mbp
-GENOME_MBP = float(os.environ.get("PEPPER_BENCH_MBP", "1.0"))
+# dataset scale: 10 Mbp over 5 contigs by default (VERDICT r3: 1 Mbp
+# timings on this noisy 2-core microVM could not distinguish regression
+# from noise); PEPPER_BENCH_MBP=1 keeps the quick variant for smoke runs
+GENOME_MBP = float(os.environ.get("PEPPER_BENCH_MBP", "10.0"))
+N_CONTIGS = max(1, min(5, int(GENOME_MBP)))
 COVERAGE = 35
 READ_LEN = 10000
 ERROR = 0.08
 BATCH = 512
+E2E_RUNS = int(os.environ.get("PEPPER_BENCH_RUNS", "3"))
 
 
 def log(msg):
@@ -50,14 +53,18 @@ def get_dataset():
     from tests.util.synth import (plant_variants, random_genome,
                                   simulate_reads_fast, write_dataset)
     key = hashlib.md5(
-        f"{GENOME_MBP}-{COVERAGE}-{READ_LEN}-{ERROR}-v1".encode()).hexdigest()[:10]
+        f"{GENOME_MBP}-{N_CONTIGS}-{COVERAGE}-{READ_LEN}-{ERROR}-v2"
+        .encode()).hexdigest()[:10]
     cache = f"/tmp/pepper_bench_{key}"
     fasta, bam = cache + "/ref.fa", cache + "/reads.bam"
     if not (os.path.isfile(fasta) and os.path.isfile(bam)):
         os.makedirs(cache, exist_ok=True)
         t0 = time.time()
-        genome = random_genome(int(GENOME_MBP * 1e6), seed=1)
-        variants = plant_variants(dict(genome), 800, 100, 100, seed=2)
+        genome = random_genome(int(GENOME_MBP * 1e6 / N_CONTIGS), seed=1,
+                               n_contigs=N_CONTIGS)
+        per_mbp = int(GENOME_MBP)
+        variants = plant_variants(dict(genome), 800 * per_mbp, 100 * per_mbp,
+                                  100 * per_mbp, seed=2)
         records = simulate_reads_fast(genome, variants, coverage=COVERAGE,
                                       read_length=READ_LEN, error_rate=ERROR,
                                       seed=3)
@@ -86,16 +93,19 @@ def encode_all(fasta_path, bam_path, n_threads):
 
     config = bench_config(fasta_path, bam_path, n_threads)
     with FastaReader(fasta_path) as fa:
-        contig = fa.get_chromosome_names()[0]
-        length = fa.get_chromosome_sequence_length(contig)
+        regions = []
+        for contig in fa.get_chromosome_names():
+            length = fa.get_chromosome_sequence_length(contig)
+            regions += [(contig, s, min(s + 100_000, length) - 1)
+                        for s in range(0, length, 100_000)]
 
-    def one(start):
+    def one(region):
+        contig, start, end = region
         with BamReader(bam_path) as bam, FastaReader(fasta_path) as fa:
-            end = min(start + 100_000, length) - 1
             return create_region_summary(config, bam, fa, contig, start, end)
 
     with ThreadPoolExecutor(n_threads) as pool:
-        results = list(pool.map(one, range(0, length, 100_000)))
+        results = list(pool.map(one, regions))
     from pepper_tpu.pipelines.datastore import stack_images
     batches = [stack_images(r) for r in results if r]
     return (np.concatenate(batches).astype(np.int8) if batches
@@ -365,7 +375,8 @@ def main():
     log("encode scaling: " + ", ".join(
         f"{t}th={curve[t]:.2f}s" for t in sorted(curve)))
     log(f"host fetch+encode ({ncpu} threads): {t_host:.2f}s, "
-        f"{len(images)} candidate windows")
+        f"{len(images)} candidate windows; per-core encode cost "
+        f"{curve[1] / GENOME_MBP:.3f} core-s/Mbp")
 
     # ---- device ceiling --------------------------------------------------
     t_dev, platform, flops_w = tpu_inference_only(images)
@@ -380,17 +391,20 @@ def main():
         log(f"chip utilization: {flops_w / 1e6:.1f} MFLOP/window x "
             f"{windows_s:.0f}/s = {100 * util:.1f}% of v5e bf16 peak")
 
-    # ---- full pipeline, streamed (warm pass then best of 2) -------------
+    # ---- full pipeline, streamed (warm pass then median of E2E_RUNS) ----
     bench_e2e(cache, fasta, bam, ncpu)  # compile + page warmup
-    t_stream = t_tail = float("inf")
-    for _ in range(2):
+    runs = []
+    for _ in range(E2E_RUNS):
         s, c3, n_cand = bench_e2e(cache, fasta, bam, ncpu)
-        if s + c3 < t_stream + t_tail:
-            t_stream, t_tail = s, c3
+        runs.append((s, c3))
+    runs.sort(key=lambda p: p[0] + p[1])
+    t_stream, t_tail = runs[len(runs) // 2]          # median by total
     t_e2e = t_stream + t_tail
     ours = GENOME_MBP / t_e2e
-    log(f"e2e call_variant (streamed 3-stage): {t_e2e:.2f}s = stream+gates "
-        f"{t_stream:.2f}s + vcf tail {t_tail:.2f}s ({n_cand} candidates) "
+    spread = (runs[-1][0] + runs[-1][1]) - (runs[0][0] + runs[0][1])
+    log(f"e2e call_variant (streamed 3-stage, median of {E2E_RUNS}, "
+        f"spread {spread:.2f}s): {t_e2e:.2f}s = stream+gates+vcf "
+        f"{t_stream:.2f}s + tail {t_tail:.2f}s ({n_cand} candidates) "
         f"-> {ours:.3f} Mbp/s")
     log(f"streaming overhead vs pure encode: "
         f"{100 * (t_stream / t_host - 1):.0f}% "
@@ -406,6 +420,41 @@ def main():
                        cache + "/e2e_out/posthoc/")
     t_stage3_posthoc = time.time() - t0
     log(f"post-hoc stage 3 (reference staging): {t_stage3_posthoc:.2f}s")
+
+    # ---- stage-time breakdown (components standalone, serial) -----------
+    try:
+        from pepper_tpu.io.fasta import FastaReader
+        from pepper_tpu.pipelines import find_candidates as fc
+        from pepper_tpu.pipelines.datastore import PredictionStore
+        pred_path = cache + "/e2e_out/preds/pepper_predictions.hdf"
+        batches = []
+        with PredictionStore(pred_path, "r") as store:
+            for bname in store.batch_names():
+                batches.append(store.read_batch(bname))
+        t0 = time.time()
+        with FastaReader(fasta) as fa:
+            span = fc._ContigSpanCache(fa)
+            margin, dv = [], []
+            for b in batches:
+                freq_lists = [[int(f)]
+                              for f in np.ravel(b.candidate_frequency)]
+                fc.batch_candidates(config, span, b.contigs, b.positions,
+                                    b.depths, b.candidates, freq_lists,
+                                    b.base_prediction, margin, dv)
+        t_gates = time.time() - t0
+        t0 = time.time()
+        vcf_dir = cache + "/e2e_out/bd_vcf/"
+        shutil.rmtree(vcf_dir, ignore_errors=True)
+        os.makedirs(vcf_dir)
+        fc.finalize_candidates(config, vcf_dir, margin, dv, t0)
+        t_vcf = time.time() - t0
+        log(f"stage breakdown (serial component cost at {GENOME_MBP:g} "
+            f"Mbp): encode {t_host:.2f}s | device {t_dev:.2f}s | gates "
+            f"{t_gates:.2f}s | vcf write {t_vcf:.2f}s | e2e wall "
+            f"{t_e2e:.2f}s (overlap hides "
+            f"{t_host + t_dev + t_gates + t_vcf - t_e2e:.2f}s)")
+    except Exception as exc:
+        log(f"stage breakdown failed: {exc}")
 
     t_torch1 = torch_cpu_inference(images)
     t_torch_n = t_torch1 / ncpu  # N share-nothing 1-thread callers

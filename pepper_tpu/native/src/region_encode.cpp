@@ -15,6 +15,8 @@
 #include "bam_common.h"
 
 #include <array>
+#include <atomic>
+#include <chrono>
 #include <cmath>
 #include <map>
 #include <memory>
@@ -111,6 +113,24 @@ struct Out {
   std::vector<int32_t> images;
 };
 
+// Always-on section timers (5 steady_clock reads per region — noise next
+// to the ~10ms regions they measure). Summed across threads; drained from
+// Python via encode_prof_get for the bench's encode breakdown.
+std::atomic<int64_t> g_ns_fetch{0}, g_ns_walk{0}, g_ns_site{0},
+    g_ns_windows{0}, g_calls{0};
+
+struct SectionTimer {
+  std::chrono::steady_clock::time_point t;
+  SectionTimer() : t(std::chrono::steady_clock::now()) {}
+  void lap(std::atomic<int64_t>& acc) {
+    auto now = std::chrono::steady_clock::now();
+    acc.fetch_add(
+        std::chrono::duration_cast<std::chrono::nanoseconds>(now - t).count(),
+        std::memory_order_relaxed);
+    t = now;
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -128,6 +148,16 @@ typedef struct {
   int64_t cand_buf_len;
   int32_t window1, features;
 } EncodeResult;
+
+// Drain the cumulative encode section timers (seconds): [fetch+trim,
+// event walk, transpose+thresholds+labels, window render, n_calls].
+void encode_prof_get(double* out5) {
+  out5[0] = g_ns_fetch.exchange(0) * 1e-9;
+  out5[1] = g_ns_walk.exchange(0) * 1e-9;
+  out5[2] = g_ns_site.exchange(0) * 1e-9;
+  out5[3] = g_ns_windows.exchange(0) * 1e-9;
+  out5[4] = (double)g_calls.exchange(0);
+}
 
 void encode_result_free(EncodeResult* r) {
   if (!r) return;
@@ -160,6 +190,8 @@ EncodeResult* encode_region(
   const std::string ref_seq(ref_seq_c);
   const int win1 = window_size + 1;
   const int half = window_size / 2;
+  SectionTimer prof;
+  g_calls.fetch_add(1, std::memory_order_relaxed);
 
   // ---- fetch + trim (+ reservoir downsample on the raw fetched reads) ----
   std::vector<TrimmedReadN> reads;
@@ -196,6 +228,8 @@ EncodeResult* encode_region(
       reads = std::move(all);
     }
   }
+
+  prof.lap(g_ns_fetch);
 
   // ---- event accumulation (port of events.py read_events) ----
   // Accumulate column-major: the per-base walk updates 2-3 fixed columns,
@@ -241,6 +275,15 @@ EncodeResult* encode_region(
     e[bc * 3 + (rev ? 2 : 1)] += 1;
   };
 
+  // span-sized scratch masks for the vectorized M-op passes (pass/mismatch
+  // per base); sized to the longest span on demand, reused across reads
+  std::vector<uint8_t> mbuf, mmbuf;
+  // Matching passing bases always decrement the column of the REFERENCE
+  // letter at that position — read-independent, so they are accumulated
+  // per position (by strand) during the walk and scattered into the
+  // strand columns once per region afterwards. Only mismatching /
+  // non-ACGT read bases touch their data-dependent column in the walk.
+  std::vector<int32_t> refhit_fwd(L, 0), refhit_rev(L, 0);
   for (const auto& read : reads) {
     if (read.mapq <= 0) continue;
     const bool rev = (read.flag & pep::FLAG_REVERSE) != 0;
@@ -285,15 +328,34 @@ EncodeResult* encode_region(
         int32_t* strand_cols[8];
         for (int o = 0; o < 8; o++)
           strand_cols[o] = col(strand_start + o) + idx0;
+        // The span loop is restructured into branch-free passes that g++
+        // auto-vectorizes (the original per-base scatter was the single
+        // hottest loop in the pipeline); only mismatches (~error rate) and
+        // non-ACGT read bases fall back to scalar handling. Semantics are
+        // bit-identical (tests/test_native_encode.py).
+        if ((int64_t)mbuf.size() < n_main) {
+          mbuf.resize(n_main);
+          mmbuf.resize(n_main);
+        }
+        uint8_t* m = mbuf.data();
+        uint8_t* mm = mmbuf.data();
+        int32_t* rh = (rev ? refhit_rev : refhit_fwd).data() + idx0;
+        for (int64_t k = 0; k < n_main; k++)
+          m[k] = (uint8_t)(qp[k] >= bq_thr);
+        for (int64_t k = 0; k < n_main; k++) covp[k] += m[k];
+        for (int64_t k = 0; k < n_main; k++) refc[k] -= m[k];
+        for (int64_t k = 0; k < n_main; k++)
+          mm[k] = (uint8_t)(m[k] & (uint8_t)(sp[k] != rp[k]));
+        for (int64_t k = 0; k < n_main; k++) snpp[k] += mm[k];
+        // matching passing bases: batched per-position (scattered into
+        // the ref letter's strand column after the walk)
+        for (int64_t k = 0; k < n_main; k++)
+          rh[k] += (int32_t)((uint8_t)(m[k] ^ mm[k]) & rkp[k]);
+        // mismatching / non-ACGT read bases: scalar (rare)
         for (int64_t k = 0; k < n_main; k++) {
-          if ((int)qp[k] < bq_thr) continue;
-          covp[k] += 1;
-          refc[k] -= 1;
-          const char base = sp[k];
-          if (rkp[k]) strand_cols[off[(unsigned char)base]][k] -= 1;
-          if (base != rp[k]) {
-            snpp[k] += 1;
-            add_snp_allele(idx0 + k, base, rev);
+          if (mm[k]) {
+            add_snp_allele(idx0 + k, sp[k], rev);
+            if (rkp[k]) strand_cols[off[(unsigned char)sp[k]]][k] -= 1;
           }
         }
         if (last_anchors) {
@@ -361,6 +423,18 @@ EncodeResult* encode_region(
       }
     }
   }
+
+  // scatter the batched match counts into the ref letter's strand column
+  // (one pass over the region instead of one update per read base)
+  {
+    const int8_t* off = BASE_OFFSET.t;
+    for (int64_t i = 0; i < L; i++) {
+      const int o = off[(unsigned char)ref_seq[i]];
+      if (refhit_fwd[i]) col(FWD_START + o)[i] -= refhit_fwd[i];
+      if (refhit_rev[i]) col(REV_START + o)[i] -= refhit_rev[i];
+    }
+  }
+  prof.lap(g_ns_walk);
 
   // ---- transpose the columnar accumulator into the row-major matrix ----
   std::vector<int32_t> matrix((size_t)(L + 1) * feature_size, 0);
@@ -458,6 +532,8 @@ EncodeResult* encode_region(
       labels_type[i] = type_label_index(types_hp[0][i], types_hp[1][i]);
     }
   }
+
+  prof.lap(g_ns_site);
 
   // ---- candidate windows ----
   // Two passes: count gate-passing alleles, then render each window
@@ -611,6 +687,7 @@ EncodeResult* encode_region(
     encode_result_free(r);
     return nullptr;
   }
+  prof.lap(g_ns_windows);
   return r;
 }
 

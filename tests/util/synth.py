@@ -18,6 +18,18 @@ BASES = "ACGT"
 
 
 def random_genome(length: int, seed: int = 7, n_contigs: int = 1) -> List[Tuple[str, str]]:
+    if length >= 100_000:
+        # bench-scale contigs: vectorized (the pure-Python path below is
+        # ~5s/Mbp). Different stream than the small path — fine: goldens
+        # only pin small sizes, and the bench keys its cache by content.
+        import numpy as np
+        rng_np = np.random.RandomState(seed)
+        lut = np.frombuffer(b"ACGT", np.uint8)
+        return [
+            (f"contig{i+1}",
+             lut[rng_np.randint(0, 4, length)].tobytes().decode())
+            for i in range(n_contigs)
+        ]
     rng = random.Random(seed)
     return [
         (f"contig{i+1}", "".join(rng.choice(BASES) for _ in range(length)))
