@@ -31,21 +31,34 @@ def polish(bam: str, fasta: str, model_path: str, output_dir: str,
     prediction_dir = output_dir + f"predictions_{timestr}/"
 
     if streaming:
-        # fused stage 1+2 (polish/streaming.py): pileup encode streams
-        # into consensus inference with no file barrier; image HDF5s are
-        # optional artifacts. Stitch needs contig-complete predictions,
-        # so stage 3 stays post-hoc.
+        # fused stage 1+2+3 (polish/streaming.py + stitch.StreamingStitcher):
+        # pileup encode streams into consensus inference with no file
+        # barrier, and completed contigs are stitched behind the device at
+        # the contig watermark — no post-hoc store-read stitch pass. Image
+        # HDF5s are optional artifacts; the prediction store is still
+        # written (stage re-runnability).
+        from pepper_tpu.polish.make_images import build_polish_intervals
+        from pepper_tpu.polish.stitch import StreamingStitcher
         from pepper_tpu.polish.streaming import stream_polish
-        _log("STEP 1+2/3 STREAMING PILEUPS INTO CONSENSUS INFERENCE")
+        _log("STEP 1+2+3/3 STREAMING PILEUPS INTO CONSENSUS AND STITCH")
         os.makedirs(prediction_dir, exist_ok=True)
         image_store_path = None
         if keep_image_artifacts:
             os.makedirs(image_dir, exist_ok=True)
             image_store_path = image_dir + "pepper_polish_images_streamed.hdf"
-        stream_polish(bam, fasta, model_path,
-                      prediction_dir + "pepper_prediction_0.hdf",
-                      image_store_path, region=region, threads=threads,
-                      batch_size=batch_size, realignment_flag=realignment)
+        intervals = build_polish_intervals(fasta, bam, region)
+        stitcher = StreamingStitcher(
+            intervals, output_dir + "PEPPER_pepper_polished.fa")
+        try:
+            stream_polish(bam, fasta, model_path,
+                          prediction_dir + "pepper_prediction_0.hdf",
+                          image_store_path, region=region, threads=threads,
+                          batch_size=batch_size,
+                          realignment_flag=realignment, stitcher=stitcher)
+            out = stitcher.finish()
+        except BaseException:
+            stitcher.abort()   # no truncated-but-plausible FASTA artifacts
+            raise
     else:
         _log("STEP 1/3 GENERATING IMAGES")
         generate_polish_images(bam, fasta, image_dir, region=region,
@@ -53,8 +66,8 @@ def polish(bam: str, fasta: str, model_path: str, output_dir: str,
         _log("STEP 2/3 RUNNING CONSENSUS INFERENCE")
         call_consensus(image_dir, model_path, prediction_dir,
                        batch_size=batch_size)
-    _log("STEP 3/3 STITCHING")
-    out = perform_stitch(prediction_dir, output_dir + "PEPPER", threads)
+        _log("STEP 3/3 STITCHING")
+        out = perform_stitch(prediction_dir, output_dir + "PEPPER", threads)
     elapsed = time.time() - start_time
     _log(f"TOTAL ELAPSED TIME: {int(elapsed // 60)} Min {int(elapsed % 60)} Sec")
     return out

@@ -35,6 +35,41 @@ def natural_key(s: str):
 _DECODE = np.frombuffer(b"\x00ACGT", np.uint8)  # label -> base byte, 0 drops
 
 
+def _filter_part(region_start: int, positions, indices, bases):
+    """One sub-chunk's kept (pos, idx, base) arrays after the invalid-key
+    filter and the overlap-buffer skip (Stitch.py:64-74)."""
+    buffer_positions = PolishImageOptions.MIN_IMAGE_OVERLAP * 2
+    positions = np.asarray(positions, np.int64)
+    indices = np.asarray(indices, np.int64)
+    bases = np.asarray(bases, np.int64)
+    mask = (indices >= 0) & (positions >= 0)
+    if region_start > 0:
+        mask &= positions > region_start + buffer_positions
+    if not mask.any():
+        return None
+    return positions[mask], indices[mask], bases[mask]
+
+
+def _stitch_filtered(parts):
+    """Concat pre-filtered parts (in chunk order) -> stable lexsort ->
+    last-of-group selection -> decoded sequence. The reference's per-base
+    dict insert (last chunk wins per (pos, index) key, Stitch.py:36-94)
+    as numpy throughput."""
+    if not parts:
+        return -1, -1, ""
+    pos = np.concatenate([p[0] for p in parts])
+    idx = np.concatenate([p[1] for p in parts])
+    base = np.concatenate([p[2] for p in parts])
+    order = np.lexsort((idx, pos))  # stable: ties keep arrival order
+    sp, si, sb = pos[order], idx[order], base[order]
+    last = np.empty(len(sp), bool)  # last write per key == dict overwrite
+    last[-1] = True
+    np.logical_or(sp[1:] != sp[:-1], si[1:] != si[:-1], out=last[:-1])
+    kept = sb[last]
+    sequence = _DECODE[kept[kept != 0]].tobytes().decode()
+    return int(sp[0]), int(sp[-1]), sequence
+
+
 def small_chunk_stitch(contig: str,
                        chunk_keys: List[Tuple[str, str, int, int]]):
     """Stitch.py:36-94: (pos,index)-keyed de-dup with overlap-buffer skip.
@@ -43,8 +78,7 @@ def small_chunk_stitch(contig: str,
     (pos, index) key) becomes filter -> stable lexsort -> last-of-group
     selection, so stitching a contig is numpy throughput instead of a
     Python loop (and needs no process pool)."""
-    buffer_positions = PolishImageOptions.MIN_IMAGE_OVERLAP * 2
-    pos_parts, idx_parts, base_parts = [], [], []
+    parts = []
     stores: Dict[str, PolishPredictionStore] = {}  # one open per file
     try:
         for file_name, chunk_key, _st, _end in chunk_keys:
@@ -54,32 +88,99 @@ def small_chunk_stitch(contig: str,
                     file_name, "r")
             for bases, positions, indices in store.read_chunks(contig,
                                                                chunk_key):
-                positions = np.asarray(positions, np.int64)
-                indices = np.asarray(indices, np.int64)
-                bases = np.asarray(bases, np.int64)
-                mask = (indices >= 0) & (positions >= 0)
-                if _st > 0:
-                    mask &= positions > _st + buffer_positions
-                if mask.any():
-                    pos_parts.append(positions[mask])
-                    idx_parts.append(indices[mask])
-                    base_parts.append(bases[mask])
+                part = _filter_part(_st, positions, indices, bases)
+                if part is not None:
+                    parts.append(part)
     finally:
         for store in stores.values():
             store.close()
-    if not pos_parts:
-        return -1, -1, ""
-    pos = np.concatenate(pos_parts)
-    idx = np.concatenate(idx_parts)
-    base = np.concatenate(base_parts)
-    order = np.lexsort((idx, pos))  # stable: ties keep arrival order
-    sp, si, sb = pos[order], idx[order], base[order]
-    last = np.empty(len(sp), bool)  # last write per key == dict overwrite
-    last[-1] = True
-    np.logical_or(sp[1:] != sp[:-1], si[1:] != si[:-1], out=last[:-1])
-    kept = sb[last]
-    sequence = _DECODE[kept[kept != 0]].tobytes().decode()
-    return int(sp[0]), int(sp[-1]), sequence
+    return _stitch_filtered(parts)
+
+
+class StreamingStitcher:
+    """Stage-3 stitch running BEHIND the consensus stream (contig
+    watermark), removing the post-hoc store-read stitch pass entirely.
+
+    The streamer feeds flushed predictions (post-device) straight from
+    memory; when every interval of the next contig (natural order) has
+    been encoded AND all its sequences flushed, that contig is stitched
+    and appended to the FASTA — by the stream's end only the final
+    contig's write remains. Output is byte-identical to the staged
+    perform_stitch (CI-enforced, tests/test_polish.py): parts are ordered
+    (region_start, region_end, str(chunk_id)), matching the staged
+    (start, end)-sorted chunk keys with string-sorted sub-chunks
+    (datastore.read_chunks)."""
+
+    def __init__(self, intervals, output_path: str):
+        self._totals: Dict[str, int] = {}
+        for contig, _s, _e in intervals:
+            self._totals[contig] = self._totals.get(contig, 0) + 1
+        self._order = sorted(self._totals, key=natural_key)
+        self._seen: Dict[str, int] = {c: 0 for c in self._order}
+        self._exp_seqs: Dict[str, int] = {c: 0 for c in self._order}
+        self._flushed: Dict[str, int] = {c: 0 for c in self._order}
+        self._parts: Dict[str, list] = {c: [] for c in self._order}
+        self._head = 0
+        os.makedirs(os.path.dirname(os.path.abspath(output_path)),
+                    exist_ok=True)
+        self.path = output_path
+        self._fh = open(output_path, "w")
+
+    def note_interval(self, contig: str, n_seqs: int) -> None:
+        """Every interval reports (empty ones too) — the watermark needs
+        complete per-contig accounting."""
+        self._seen[contig] += 1
+        self._exp_seqs[contig] += n_seqs
+        self._advance()
+
+    def add(self, contig: str, start: int, end: int, chunk_id: int,
+            position, index, bases) -> None:
+        self._parts[contig].append(
+            (start, end, str(chunk_id),
+             _filter_part(start, position, index, bases)))
+        self._flushed[contig] += 1
+        self._advance()
+
+    def _complete(self, contig: str) -> bool:
+        return (self._seen[contig] == self._totals[contig]
+                and self._flushed[contig] == self._exp_seqs[contig])
+
+    def _advance(self) -> None:
+        while self._head < len(self._order):
+            contig = self._order[self._head]
+            if not self._complete(contig):
+                return
+            self._head += 1
+            entries = sorted(self._parts.pop(contig),
+                             key=lambda e: (e[0], e[1], e[2]))
+            _log(f"PROCESSING CONTIG: {contig}")
+            _, _, seq = _stitch_filtered(
+                [e[3] for e in entries if e[3] is not None])
+            _log(f"FINISHED {contig}, POLISHED SEQUENCE LENGTH: {len(seq)}")
+            if seq:
+                self._fh.write(">" + contig + "\n")
+                self._fh.write(seq + "\n")
+
+    def finish(self) -> str:
+        self._advance()
+        if self._head != len(self._order):
+            missing = [c for c in self._order if not self._complete(c)]
+            raise RuntimeError(
+                f"streamed stitch incomplete: contigs {missing[:5]} never "
+                f"finalized")
+        self._fh.close()
+        return self.path
+
+    def abort(self) -> None:
+        """Failure path: close and delete the partial FASTA."""
+        try:
+            self._fh.close()
+        except Exception:
+            pass
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
 
 
 def create_consensus_sequence(contig: str, chunk_keys, threads: int,

@@ -53,10 +53,15 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
                   image_store_path: Optional[str] = None,
                   region: Optional[str] = None, threads: int = 1,
                   batch_size: int = 128,
-                  realignment_flag: bool = True) -> int:
+                  realignment_flag: bool = True,
+                  stitcher=None) -> int:
     """Encode 1kb draft intervals and run consensus inference concurrently;
     writes the prediction store consumed by perform_stitch. Returns the
-    number of 1000-length sequences inferred."""
+    number of 1000-length sequences inferred.
+
+    stitcher: optional StreamingStitcher — flushed predictions also feed
+    the contig-watermark stitch, so the polished FASTA is written behind
+    the device and the post-hoc store-read stitch pass disappears."""
     from pepper_tpu.runtime.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
@@ -106,9 +111,10 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
                         create_polish_summary(
                             bam, fasta, chr_name, start, end,
                             realignment_flag=realignment_flag)
-                    if images:
-                        _put_result(((chr_name, start, end), images,
-                                     labels, positions, chunk_ids))
+                    # empty intervals are reported too: the streamed
+                    # stitcher's contig watermark accounts every interval
+                    _put_result(((chr_name, start, end), images,
+                                 labels, positions, chunk_ids))
         except BaseException as exc:  # fail loudly, never silently drop
             errors.append(exc)
             raise
@@ -142,6 +148,9 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
             contig, start, end, chunk_id, position, index = meta
             store.write_prediction(contig, start, end, chunk_id,
                                    position, index, base_labels)
+            if stitcher is not None:
+                stitcher.add(contig, start, end, chunk_id, position, index,
+                             base_labels)
 
     try:
         while done_sentinels < n_threads:
@@ -150,6 +159,10 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
                 done_sentinels += 1
                 continue
             region_tuple, imgs, labels_unused, positions, chunk_ids = item
+            if stitcher is not None:
+                stitcher.note_interval(region_tuple[0], len(imgs))
+            if not imgs:
+                continue
             for i, image in enumerate(imgs):
                 meta = _chunk_meta(region_tuple, positions[i], chunk_ids[i])
                 if image_store is not None:

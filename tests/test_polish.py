@@ -188,6 +188,45 @@ def test_polish_end_to_end_corrects_draft(polish_dataset):
     assert recovered / checked >= 0.7, (recovered, checked)
 
 
+def test_polish_streamed_multi_contig_matches_staged(tmp_path):
+    """Contig-watermark stitch across multiple contigs: streamed FASTA ==
+    staged FASTA, contigs in natural order, every contig present."""
+    import jax
+
+    from pepper_tpu.models.checkpoint import save_checkpoint
+    from pepper_tpu.models.polish_model import init_polish_params
+    from pepper_tpu.polish.pipeline import polish
+
+    tmp = str(tmp_path)
+    genome = random_genome(4000, seed=81, n_contigs=3)
+    corrections = plant_variants(dict(genome), 6, 2, 2, seed=82)
+    corrections = [type(v)(v.contig, v.pos, v.ref, v.alt, (1, 1))
+                   for v in corrections]
+    reads = simulate_reads(genome, corrections, coverage=25, seed=83,
+                           error_rate=0.02)
+    draft_fa = os.path.join(tmp, "draft.fa")
+    write_fasta(draft_fa, genome)
+    bam_path = os.path.join(tmp, "reads.bam")
+    with BamWriter(bam_path, [(n, len(s)) for n, s in genome]) as bw:
+        for rec in reads:
+            bw.write(rec)
+    model = tmp + "/model.npz"
+    params = init_polish_params(jax.random.PRNGKey(6))
+    save_checkpoint(model, jax.tree_util.tree_map(np.asarray, params), {})
+
+    out_staged = polish(bam_path, draft_fa, model, tmp + "/staged/",
+                        threads=2, streaming=False, realignment=False)
+    out_streamed = polish(bam_path, draft_fa, model, tmp + "/streamed/",
+                          threads=2, streaming=True, realignment=False)
+    with open(out_staged) as fh:
+        staged = fh.read()
+    with open(out_streamed) as fh:
+        streamed = fh.read()
+    assert staged == streamed
+    headers = [l for l in streamed.splitlines() if l.startswith(">")]
+    assert headers == [">contig1", ">contig2", ">contig3"]
+
+
 def test_stitch_v2_alignment_merge():
     from pepper_tpu.polish.stitch_v2 import alignment_stitch
     true = ("ACGGATTACAGGCTTACGGATCCAGATTACAGGCTTAACCGGTTACGATCGATCGGATC"
