@@ -29,7 +29,7 @@ def _log(msg: str) -> None:
     sys.stderr.flush()
 
 
-def make_window_vote_fn(params):
+def make_window_vote_fn(params, mesh=None):
     """Jitted (images [B,1000,10]) -> (base_labels, phred) with the
     reference's window/vote/phred semantics.
 
@@ -37,7 +37,12 @@ def make_window_vote_fn(params):
     constants made the persistent-cache key unstable across processes),
     and the 19 overlapping windows run under one `lax.scan` (the unrolled
     graph compiled ~5x slower for identical numerics — the adds into the
-    vote tensor happen in the same order)."""
+    vote tensor happen in the same order).
+
+    mesh: optional jax Mesh — params are replicated over it and the
+    bf16/fused decisions follow the MESH's platform (which may differ
+    from the default backend); callers shard the image batch over the
+    mesh's 'data' axis (parallel.mesh.shard_batch)."""
     import jax
     import jax.numpy as jnp
 
@@ -50,14 +55,19 @@ def make_window_vote_fn(params):
     n_labels = PolishImageOptions.TOTAL_LABELS
     hidden_size = PolishTrainOptions.HIDDEN_SIZE
 
+    platform = (next(iter(mesh.devices.flat)).platform if mesh is not None
+                else jax.devices()[0].platform)
     use_bf16 = (os.environ.get("PEPPER_TPU_PRECISION", "bf16") != "f32"
-                and jax.devices()[0].platform != "cpu")
+                and platform != "cpu")
     cdtype = jnp.bfloat16 if use_bf16 else jnp.float32
     cparams = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, cdtype), params)
+    if mesh is not None:
+        from pepper_tpu.parallel.mesh import replicate
+        cparams = replicate(mesh, cparams)
     # TPU: both biGRU layers run the Pallas fused kernel per window — the
     # 100-step recurrence becomes a pipelined grid instead of a scan
-    fused = (jax.devices()[0].platform == "tpu"
+    fused = (platform == "tpu"
              and os.environ.get("PEPPER_TPU_FUSED_RNN", "1") != "0")
 
     starts = np.arange(0, seq_len - window + 1, jump)
