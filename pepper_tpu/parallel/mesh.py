@@ -29,6 +29,18 @@ def shard_batch(mesh: Mesh, batch):
         lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_batch_from_local(mesh: Mesh, local_batch):
+    """Multi-process batch feeding: each process contributes ITS rows of
+    the global batch (axis 0 sharded over 'data' across every host's
+    devices — the DistributedSampler analog). Single-process, this equals
+    shard_batch. The local row count must match the process's share of
+    the global batch."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), local_batch)
+
+
 def replicate(mesh: Mesh, tree):
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(

@@ -115,30 +115,32 @@ class ReduceLROnPlateau:
         return self.lr
 
 
-def _batches(rng: np.random.RandomState, n: int, batch_size: int
-             ) -> Iterator[np.ndarray]:
-    order = rng.permutation(n)
-    for lo in range(0, n - batch_size + 1, batch_size):
-        yield order[lo:lo + batch_size]
-
-
 def train(train_image_dir: str, test_image_dir: str, model_dir: str,
           batch_size: int = 64, epoch_limit: int = 10, step_size: int = 100,
           lr: float = 1e-4, weight_decay: float = 1e-6,
           retrain_model_path: Optional[str] = None, seed: int = 0,
-          mesh=None) -> str:
-    """Train loop (train_distributed.py:47-243). Returns best model path."""
+          mesh=None, buffer_bytes: int = 512 << 20) -> str:
+    """Train loop (train_distributed.py:47-243). Returns best model path.
+
+    Training data streams through a bounded shuffle buffer (train/
+    dataloader.py) — RSS stays within ~buffer_bytes however large the
+    image set is; datasets that fit the buffer take the eager path with
+    loss trajectories identical to the old full-RAM load."""
     from pepper_tpu.runtime.compile_cache import enable_persistent_cache
     enable_persistent_cache()
+    from pepper_tpu.train.dataloader import ShuffleBufferLoader
     os.makedirs(model_dir, exist_ok=True)
-    train_data = load_all_summaries(train_image_dir, train_mode=True)
-    test_data = load_all_summaries(test_image_dir, train_mode=True)
-    if train_data is None or "type_label" not in train_data:
+    loader = ShuffleBufferLoader(train_image_dir, batch_size,
+                                 buffer_bytes=buffer_bytes, train_mode=True)
+    if not loader.n_examples:
         raise ValueError("training requires labeled images (make_train_images)")
-    images = train_data["images"]
-    labels = train_data["type_label"].astype(np.int32)
-    _log(f"TRAIN EXAMPLES: {len(images)}  TEST: "
-         f"{0 if test_data is None else len(test_data['images'])}")
+    test_data = load_all_summaries(test_image_dir, train_mode=True)
+    if test_data is not None and "type_label" not in test_data:
+        test_data = None
+    _log(f"TRAIN EXAMPLES: {loader.n_examples}  TEST: "
+         f"{0 if test_data is None else len(test_data['images'])}"
+         + ("" if loader.eager_arrays() is not None else
+            f"  (streaming shuffle buffer: {loader.buffer_examples} examples)"))
 
     mesh = mesh or data_mesh()
     key = jax.random.PRNGKey(seed)
@@ -156,8 +158,9 @@ def train(train_image_dir: str, test_image_dir: str, model_dir: str,
         key, pkey = jax.random.split(key)
         # window/feature geometry inferred from the data, so HP images
         # ([B,21,48]) and base images ([B,33,26]) both train unchanged
-        params = init_variant_params(pkey, image_features=images.shape[2],
-                                     window=images.shape[1])
+        window, features = loader.example_shape
+        params = init_variant_params(pkey, image_features=features,
+                                     window=window)
     params = replicate(mesh, params)
 
     optimizer = make_optimizer(weight_decay)
@@ -186,15 +189,14 @@ def train(train_image_dir: str, test_image_dir: str, model_dir: str,
     step_no = 0
     best_accuracy = -1.0
     best_path = os.path.join(model_dir, "PEPPER_VARIANT_BEST.npz")
-    n_steps_per_epoch = max(1, len(images) // batch_size)
+    n_steps_per_epoch = max(1, loader.n_examples // batch_size)
     total_steps = epoch_limit * min(step_size, n_steps_per_epoch)
     epoch = start_epoch
     t0 = time.time()
     while step_no < total_steps:
-        for idx in _batches(rng, len(images), batch_size):
-            x = shard_batch(mesh, jnp.asarray(
-                images[idx].astype(np.float32)))
-            y = shard_batch(mesh, jnp.asarray(labels[idx]))
+        for bx, by in loader.epoch_batches(rng):
+            x = shard_batch(mesh, jnp.asarray(bx.astype(np.float32)))
+            y = shard_batch(mesh, jnp.asarray(by))
             key, dkey = jax.random.split(key)
             params, opt_state, loss = step_fn(params, opt_state, x, y, dkey)
             step_no += 1

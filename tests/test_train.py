@@ -167,3 +167,111 @@ def test_train_writes_stats_and_resumes_optimizer(tmp_path):
                    batch_size=16, epoch_limit=1, step_size=5, lr=2e-4,
                    retrain_model_path=model_path)
     assert os.path.isfile(model2)
+
+
+def _write_image_store(path, images, labels, per_summary=7):
+    """Write labeled images across several summary groups."""
+    from pepper_tpu.encode.region_encoder import CandidateBatch
+    from pepper_tpu.pipelines.datastore import ImageStore
+    with ImageStore(path, "w") as store:
+        for si, lo in enumerate(range(0, len(images), per_summary)):
+            img = images[lo:lo + per_summary]
+            lab = labels[lo:lo + per_summary]
+            n = len(img)
+            store.write_summary(f"s{si}", CandidateBatch(
+                "c1", np.arange(lo, lo + n), np.full(n, 30, np.int32),
+                ["1A"] * n, np.full(n, 10, np.int32), img,
+                np.zeros(n, np.int32), lab.astype(np.int32)),
+                train_mode=True)
+
+
+def test_shuffle_loader_eager_matches_legacy(tmp_path):
+    """Dataset fits the buffer -> batches identical to the legacy eager
+    permutation flow (same rng consumption, same order)."""
+    from pepper_tpu.train.dataloader import ShuffleBufferLoader
+
+    rng0 = np.random.RandomState(7)
+    images = rng0.randint(-125, 126, (53, 33, 26)).astype(np.int8)
+    labels = rng0.randint(0, 3, 53)
+    path = str(tmp_path / "imgs.h5")
+    _write_image_store(path, images, labels)
+
+    loader = ShuffleBufferLoader([path], batch_size=8)
+    assert loader.n_examples == 53
+    assert loader.eager_arrays() is not None
+    ex, ey = loader.eager_arrays()
+    np.testing.assert_array_equal(ex, images)
+    np.testing.assert_array_equal(ey, labels)
+
+    # legacy: order = rng.permutation(n); slices of B; remainder dropped
+    got = list(loader.epoch_batches(np.random.RandomState(3)))
+    order = np.random.RandomState(3).permutation(53)
+    assert len(got) == 53 // 8
+    for i, (bx, by) in enumerate(got):
+        idx = order[i * 8:(i + 1) * 8]
+        np.testing.assert_array_equal(bx, images[idx])
+        np.testing.assert_array_equal(by, labels[idx])
+
+
+def test_shuffle_loader_streaming_covers_every_example(tmp_path):
+    """Dataset larger than the buffer: streaming path emits every example
+    exactly once per epoch (minus the dropped sub-batch tail), within the
+    RAM budget."""
+    from pepper_tpu.train.dataloader import ShuffleBufferLoader
+
+    rng0 = np.random.RandomState(11)
+    n = 500
+    images = rng0.randint(-125, 126, (n, 33, 26)).astype(np.int8)
+    # label encodes the example id (mod 3 classes not needed here)
+    labels = np.arange(n) % 3
+    path = str(tmp_path / "imgs.h5")
+    _write_image_store(path, images, labels, per_summary=37)
+
+    loader = ShuffleBufferLoader([path], batch_size=16,
+                                 buffer_bytes=64 * (33 * 26 + 8))
+    assert loader.eager_arrays() is None, "must take the streaming path"
+    assert loader.buffer_examples < n
+
+    seen = []
+    for bx, by in loader.epoch_batches(np.random.RandomState(5)):
+        assert bx.shape == (16, 33, 26)
+        # identify examples by content (first row is unique with high prob)
+        seen.extend(bx[:, 0, :].tobytes()[i * 26:(i + 1) * 26]
+                    for i in range(len(bx)))
+    n_emitted = len(seen)
+    assert n - 16 < n_emitted <= n            # only the tail may drop
+    assert len(set(seen)) == n_emitted, "an example was emitted twice"
+
+    # two epochs with different rng differ in order
+    b1 = next(iter(loader.epoch_batches(np.random.RandomState(5))))
+    b2 = next(iter(loader.epoch_batches(np.random.RandomState(6))))
+    assert not np.array_equal(b1[0], b2[0])
+
+
+def test_train_streaming_loader_loss_trajectory(tmp_path):
+    """train() with a buffer too small for the dataset still converges and
+    runs the same number of steps; with a large buffer the loss CSV is
+    identical to a second large-buffer run (determinism)."""
+    from pepper_tpu.train.variant_train import train as vtrain
+
+    rng0 = np.random.RandomState(13)
+    images = rng0.randint(-125, 126, (120, 33, 26)).astype(np.int8)
+    labels = rng0.randint(0, 3, 120)
+    path = str(tmp_path / "imgs.h5")
+    _write_image_store(path, images, labels, per_summary=17)
+
+    def run(tag, buffer_bytes):
+        out = str(tmp_path / tag)
+        vtrain([path], [path], out, batch_size=16, epoch_limit=2,
+               step_size=10, lr=1e-4, seed=9, buffer_bytes=buffer_bytes)
+        import glob
+        csv = glob.glob(out + "/stats_*/train_loss.csv")[0]
+        with open(csv) as fh:
+            return fh.read()
+
+    big1 = run("big1", 512 << 20)
+    big2 = run("big2", 512 << 20)
+    small = run("small", 40 * (33 * 26 + 8))
+    assert big1 == big2, "eager path must be deterministic"
+    assert len(small.splitlines()) == len(big1.splitlines()), \
+        "streaming path must run the same number of steps"
