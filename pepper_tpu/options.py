@@ -169,6 +169,9 @@ class PipelineConfig:
     # as standalone subcommands either way.
     streaming: bool = True
     keep_image_artifacts: bool = False
+    # per-region resume journal (runtime/resume.py): a killed streamed run
+    # resumes without re-encoding completed intervals; byte-identical VCFs
+    resume: bool = True
     batch_size: int = 512
     num_workers: int = 0
     quantized: bool = False

@@ -103,16 +103,25 @@ def call_variant(config: PipelineConfig) -> dict:
         if multihost.host_count() == 1:
             emitter = make_ordered_emitter(config, output_dir, intervals)
         collector = StreamingCandidateCollector(config, emitter)
+        # per-region resume journal: lives in the STABLE output dir (the
+        # prediction dir is run-stamped), one per host; deleted only after
+        # the VCFs are fully written
+        journal_path = None
+        if getattr(config, "resume", True):
+            journal_path = (output_dir + "pepper_stream_"
+                            + multihost.host_tag() + "resume.journal")
         t3 = time.time()
         try:
             with stage("stream_encode_inference"):
                 stream_inference(config, intervals, prediction_path,
                                  image_store_path,
-                                 candidate_collector=collector)
+                                 candidate_collector=collector,
+                                 resume_journal=journal_path)
             margin_all, dv_all = collector.finish()
         except BaseException:
             # a crashed stream must not leave truncated .vcf.gz files with
-            # no .tbi looking like real output — delete the partials
+            # no .tbi looking like real output — delete the partials (the
+            # resume journal survives for the next run)
             if emitter is not None:
                 emitter.abort()
             raise
@@ -123,6 +132,8 @@ def call_variant(config: PipelineConfig) -> dict:
             else:
                 vcf_paths = finalize_candidates(config, output_dir,
                                                 margin_all, dv_all, t3)
+        if journal_path and os.path.exists(journal_path):
+            os.remove(journal_path)   # run complete: nothing to resume
     else:
         _log("STEP 1/3 GENERATING IMAGES:")
         config.image_output_directory = image_dir

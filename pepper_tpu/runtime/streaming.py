@@ -58,7 +58,9 @@ class DeviceRunner:
 
         self._jax, self._jnp = jax, jnp
         n_dev = jax.local_device_count()
-        self.batch = pad_to_multiple(max(batch_size, 2048), n_dev)
+        floor = min(2048, int(os.environ.get("PEPPER_TPU_MIN_DEVICE_BATCH",
+                                             "2048")))
+        self.batch = pad_to_multiple(max(batch_size, floor), n_dev)
         use_bf16 = (os.environ.get("PEPPER_TPU_PRECISION", "bf16") != "f32"
                     and jax.devices()[0].platform != "cpu")
         dtype = jnp.bfloat16 if use_bf16 else jnp.float32
@@ -233,25 +235,57 @@ def _batch_fields(result):
 def stream_inference(config: PipelineConfig, intervals,
                      prediction_path: str,
                      image_store_path: Optional[str] = None,
-                     candidate_collector=None) -> int:
+                     candidate_collector=None,
+                     resume_journal: Optional[str] = None) -> int:
     """Encode `intervals` and run model inference concurrently; writes
     prediction batches to `prediction_path`. Returns candidate count.
 
     candidate_collector: optional StreamingCandidateCollector — each
     flushed prediction batch is also pushed there, so stage 3's gates run
     behind the device instead of after the whole stream (the last stage
-    barrier removed)."""
+    barrier removed).
+
+    resume_journal: optional path to the per-region resume journal
+    (runtime/resume.py). Every flushed batch + per-interval row totals
+    are appended; when the file already holds a compatible journal (same
+    intervals + model), completed intervals are REPLAYED from it instead
+    of re-encoded — a killed run resumes with byte-identical outputs.
+    The caller deletes the file after the downstream consumers finish.
+    (The optional image artifact does not cover replayed intervals.)"""
     from pepper_tpu.io.bam_reader import BamReader
     from pepper_tpu.io.fasta import FastaReader
     from pepper_tpu.pipelines.make_images import create_region_summary
 
+    journal = None
+    replayed: list = []
+    skip: dict = {}
+    if resume_journal is not None:
+        from pepper_tpu.runtime.resume import (ResumeJournal,
+                                               completed_intervals,
+                                               load_journal, replay_slices)
+        loaded = load_journal(resume_journal, intervals, config.model_path)
+        if loaded is not None:
+            totals, batches = loaded
+            skip = completed_intervals(totals, batches)
+            replayed = list(replay_slices(batches, skip))
+            if skip:
+                _log(f"RESUME: {len(skip)}/{len(intervals)} INTERVALS "
+                     f"REPLAYED FROM JOURNAL")
+        elif os.path.isfile(resume_journal):
+            os.remove(resume_journal)   # stale/incompatible journal
+        journal = ResumeJournal(resume_journal, intervals,
+                                config.model_path)
+
     # big fixed batches: fewer dispatches/transfers, same one compilation
+    # (floor overridable for tests that need several flushes on tiny data)
+    batch_floor = int(os.environ.get("PEPPER_TPU_MIN_DEVICE_BATCH", "4096"))
     runner = get_device_runner(config.model_path,
-                               max(config.batch_size, 4096))
+                               max(config.batch_size, batch_floor))
     n_threads = max(1, config.threads)
     work: "queue.Queue" = queue.Queue()
     for item in enumerate(intervals):
-        work.put(item)
+        if item[0] not in skip:
+            work.put(item)
     results: "queue.Queue" = queue.Queue(maxsize=2 * n_threads)
     errors: List[BaseException] = []
     stop = threading.Event()   # set on any failure: unblocks every thread
@@ -301,7 +335,10 @@ def stream_inference(config: PipelineConfig, intervals,
     store = PredictionStore(prediction_path, "w")
     batch_no = 0
 
-    def flush(meta, probs):
+    crash_after = int(os.environ.get("PEPPER_TPU_TEST_CRASH_AFTER_FLUSH",
+                                     "0"))
+
+    def flush(meta, probs, journal_batch: bool = True):
         nonlocal batch_no
         contigs, positions, depths, cand_lists, freqs, _, runs = meta
         n = len(contigs)
@@ -314,6 +351,12 @@ def stream_inference(config: PipelineConfig, intervals,
                 [[int(f)] for f in np.ravel(freqs).tolist()], probs_np,
                 runs)
         batch_no += 1
+        if journal is not None and journal_batch:
+            journal.append(("batch", list(contigs), np.asarray(positions),
+                            np.asarray(depths), list(cand_lists),
+                            np.asarray(freqs), probs_np, list(runs)))
+            if crash_after and batch_no >= crash_after:
+                os._exit(9)   # test hook: simulate kill -9 mid-stream
 
     # a dedicated flusher thread owns the device->host sync: the main
     # thread NEVER waits on a result (on high-latency links one D2H sync
@@ -334,6 +377,22 @@ def stream_inference(config: PipelineConfig, intervals,
             raise
 
     flush_thread = threading.Thread(target=flusher, daemon=True)
+
+    # Resume replay — BEFORE the flusher starts (flush() and the store are
+    # single-threaded until then): completed intervals' predictions feed
+    # stage 3 and the fresh prediction store without touching the encoder
+    # or the device. Original flush order is preserved, so the final VCFs
+    # are byte-identical to an uninterrupted run.
+    if skip and candidate_collector is not None:
+        for idx, n_rows in skip.items():
+            candidate_collector.note_interval(idx, n_rows)
+    for rec in replayed:
+        (contigs_r, positions_r, depths_r, cands_r, freqs_r, probs_r,
+         runs_r) = rec
+        flush((contigs_r, positions_r, depths_r, cands_r, freqs_r, None,
+               runs_r), probs_r, journal_batch=False)
+        total += len(contigs_r)
+
     flush_thread.start()
 
     def _put_flush(item) -> None:
@@ -358,6 +417,9 @@ def stream_inference(config: PipelineConfig, intervals,
             if candidate_collector is not None:
                 candidate_collector.note_interval(
                     interval_idx, len(fields[1]) if fields else 0)
+            if journal is not None:
+                journal.append(("total", interval_idx,
+                                len(fields[1]) if fields else 0))
             if fields is None:
                 continue
             contig, positions, depths, cand_lists, freqs, images8 = fields
@@ -401,6 +463,8 @@ def stream_inference(config: PipelineConfig, intervals,
         except queue.Full:
             continue
     flush_thread.join()
+    if journal is not None:
+        journal.close()   # caller deletes the file after stage 3 finishes
     if errors:
         raise RuntimeError(f"streaming shard failed: {errors[0]}") \
             from errors[0]

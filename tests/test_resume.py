@@ -1,0 +1,161 @@
+"""Per-region resume journal tests (runtime/resume.py, SURVEY §5.4).
+
+The headline scenario: kill -9 a streamed call_variant mid-stream, re-run
+the same command, and get byte-identical VCFs WITHOUT re-encoding the
+intervals that already completed. The crash is real (os._exit(9) from a
+flush-count test hook in a subprocess); the resumed run must log the
+replay and delete the journal on success.
+"""
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.util.synth import (plant_variants, random_genome, simulate_reads,
+                              write_dataset, write_truth_vcf)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_DRIVER = """
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from pepper_tpu.options import PipelineConfig
+from pepper_tpu.presets import set_parameters
+from pepper_tpu.pipelines.call_variant import call_variant
+
+config = PipelineConfig(**json.load(open(sys.argv[1])))
+call_variant(set_parameters(config))
+"""
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("resume"))
+    genome = random_genome(32000, seed=61)
+    variants = plant_variants(dict(genome), 10, 3, 3, seed=62)
+    records = simulate_reads(genome, variants, coverage=35, seed=63,
+                             error_rate=0.08)
+    fasta, bam = write_dataset(tmp, genome, records)
+    write_truth_vcf(os.path.join(tmp, "truth.vcf"), genome, variants)
+    import jax
+    from pepper_tpu.models.checkpoint import save_checkpoint
+    from pepper_tpu.models.variant_model import init_variant_params
+    params = init_variant_params(jax.random.PRNGKey(3))
+    model = os.path.join(tmp, "model.npz")
+    save_checkpoint(model, jax.tree_util.tree_map(np.asarray, params), {})
+    return dict(tmp=tmp, fasta=fasta, bam=bam, model=model)
+
+
+def _run(dataset, out_dir, tag, crash_after=0):
+    cfg = dict(bam=dataset["bam"], fasta=dataset["fasta"],
+               output_dir=out_dir, sub_command="call_variant",
+               ont_r9_guppy5_sup=True, threads=2,
+               model_path=dataset["model"], region_size=4000)
+    cfg_path = os.path.join(dataset["tmp"], f"config_{tag}.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PEPPER_TPU_MIN_DEVICE_BATCH="64")
+    if crash_after:
+        env["PEPPER_TPU_TEST_CRASH_AFTER_FLUSH"] = str(crash_after)
+    p = subprocess.run(
+        [sys.executable, "-c", _DRIVER.format(repo=REPO), cfg_path],
+        env=env, capture_output=True, timeout=600)
+    return p
+
+
+def _vcf_bytes(out_dir):
+    paths = sorted(glob.glob(os.path.join(out_dir, "*.vcf.gz")))
+    assert len(paths) == 5, paths
+    return {os.path.basename(p): open(p, "rb").read() for p in paths}
+
+
+def test_kill9_resume_byte_identical(dataset):
+    # uninterrupted reference run
+    ref_out = os.path.join(dataset["tmp"], "ref_out/")
+    p = _run(dataset, ref_out, "ref")
+    assert p.returncode == 0, p.stderr.decode()[-3000:]
+    ref = _vcf_bytes(ref_out)
+
+    # crashed run: hard-exits after 2 flushed batches
+    out = os.path.join(dataset["tmp"], "crash_out/")
+    p = _run(dataset, out, "crash", crash_after=2)
+    assert p.returncode == 9, (p.returncode, p.stderr.decode()[-2000:])
+    journal = glob.glob(out + "pepper_stream_*resume.journal")
+    assert journal, "crashed run must leave its resume journal behind"
+    # the partial VCFs of the crashed run are gone or absent (abort path
+    # never ran — the process died hard — so files may exist but the
+    # resumed run rewrites them from scratch)
+
+    # resumed run: same command, fresh process
+    p = _run(dataset, out, "resume")
+    assert p.returncode == 0, p.stderr.decode()[-3000:]
+    err = p.stderr.decode()
+    assert "RESUME:" in err and "INTERVALS REPLAYED FROM JOURNAL" in err, \
+        err[-2000:]
+    # completed intervals were NOT re-encoded
+    replayed = int(err.split("RESUME: ")[1].split("/")[0])
+    assert replayed >= 1
+    assert _vcf_bytes(out) == ref, \
+        "resumed VCFs must be byte-identical to an uninterrupted run"
+    assert not glob.glob(out + "pepper_stream_*resume.journal"), \
+        "journal must be deleted after a successful run"
+
+
+def test_journal_rejects_mismatched_fingerprint(tmp_path):
+    from pepper_tpu.runtime.resume import (ResumeJournal, load_journal)
+    path = str(tmp_path / "j.journal")
+    intervals = [("c1", 0, 999), ("c1", 1000, 1999)]
+    j = ResumeJournal(path, intervals, "model_a.npz")
+    j.append(("total", 0, 5))
+    j.close()
+    assert load_journal(path, intervals, "model_a.npz") is not None
+    # different model or intervals -> journal ignored
+    assert load_journal(path, intervals, "model_b.npz") is None
+    assert load_journal(path, intervals[:1], "model_a.npz") is None
+
+
+def test_journal_drops_torn_tail(tmp_path):
+    from pepper_tpu.runtime.resume import ResumeJournal, load_journal
+    path = str(tmp_path / "j.journal")
+    intervals = [("c1", 0, 999)]
+    j = ResumeJournal(path, intervals, "m.npz")
+    j.append(("total", 0, 7))
+    j.close()
+    good = os.path.getsize(path)
+    with open(path, "ab") as fh:   # simulate a torn write
+        fh.write(b"\x55\x00\x00\x00\x99\x99\x99\x99partial...")
+    totals, batches = load_journal(path, intervals, "m.npz")
+    assert totals == {0: 7}
+    # reopening truncates back to the valid prefix and appends cleanly
+    j = ResumeJournal(path, intervals, "m.npz")
+    j.append(("total", 1, 3))
+    j.close()
+    assert os.path.getsize(path) > good
+    totals, _ = load_journal(path, intervals, "m.npz")
+    assert totals == {0: 7, 1: 3}
+
+
+def test_replay_slices_order_and_selection():
+    from pepper_tpu.runtime.resume import completed_intervals, replay_slices
+    # two batches; interval 0 complete (3 rows), interval 1 incomplete
+    batches = [
+        (["c"] * 4, np.arange(4), np.full(4, 9), [["1A"]] * 4,
+         np.arange(4), np.full((4, 3), 0.5), [(0, 2), (1, 2)]),
+        (["c"] * 3, np.arange(4, 7), np.full(3, 9), [["1C"]] * 3,
+         np.arange(4, 7), np.full((3, 3), 0.25), [(0, 1), (1, 2)]),
+    ]
+    totals = {0: 3, 1: 10}
+    comp = completed_intervals(totals, batches)
+    assert comp == {0: 3}
+    out = list(replay_slices(batches, comp))
+    assert len(out) == 2
+    np.testing.assert_array_equal(out[0][1], [0, 1])   # batch-0 rows of iv 0
+    np.testing.assert_array_equal(out[1][1], [4])      # batch-1 row of iv 0
+    assert out[0][6] == [(0, 2)] and out[1][6] == [(0, 1)]
