@@ -246,6 +246,45 @@ def vcf_header_text(sample_name: str, contigs: Sequence[Tuple[str, int]]) -> str
     return "\n".join(lines) + "\n"
 
 
+def render_site_line(variant, options):
+    """Format one site's record from a candidate_list_to_variant tuple.
+    Returns (contig, ref_start, ref_end, line_bytes, selected, is_snp).
+    Shared by the Python engine (below) and the native engine's
+    multi-candidate fallback (io/vcf_native.py); the native sink's batch
+    path re-implements this byte-for-byte in C++
+    (native/src/vcf_write.cpp, fuzz-differential-tested)."""
+    (contig, ref_start, ref_end, ref_seq, alleles, genotype, depth,
+     support, gt_prob, non_alt_preds, in_repeat) = variant
+    max_alt_len = max(len(ref_seq), max(len(x) for x in alleles))
+    qual = max(1, int(-10 * math.log10(max(1e-9, 1.0 - gt_prob))))
+    is_snp = max_alt_len == 1
+    if is_snp:
+        cutoff = (options.snp_q_cutoff_in_lc if in_repeat
+                  else options.snp_q_cutoff)
+    else:
+        cutoff = (options.indel_q_cutoff_in_lc if in_repeat
+                  else options.indel_q_cutoff)
+    failed_variant = qual <= cutoff
+    is_ref_call = genotype[0] == 0 and genotype[1] == 0
+    selected = is_ref_call or failed_variant
+    # true division per allele — a reciprocal multiply differs in the
+    # last ulp and crosses round() boundaries (e.g. 3/80)
+    dp = max(1, depth)
+    vafs = [round(ad / dp, 3) for ad in support]
+    filt = "refCall" if is_ref_call else "PASS"
+    # str(qual) == format(qual, '.6g') for the int qual range here
+    line = (f"{contig}\t{ref_start + 1}\t.\t{ref_seq}\t"
+            f"{','.join(alleles)}\t{qual}\t{filt}\t.\t"
+            f"GT:AP:GQ:DP:AD:VAF:REP\t"
+            f"{genotype[0]}/{genotype[1]}:"
+            f"{','.join(_fmt_float(p) for p in non_alt_preds) or '.'}:"
+            f"{qual}:{depth}:"
+            f"{','.join(map(str, support))}:"
+            f"{','.join(_fmt_float(v) for v in vafs)}:"
+            f"{'1' if in_repeat else '0'}\n").encode()
+    return contig, ref_start, ref_end, line, selected, is_snp
+
+
 class VCFWriteEngine:
     """The reference's 5-output VCF writer (VcfWriter.py:12-218)."""
 
@@ -360,54 +399,22 @@ class VCFWriteEngine:
         cross-site de-dup state (last_position) lives on the engine.
         Parity: one iteration of VcfWriter.write_vcf_records
         (VcfWriter.py:140-218)."""
-        totals = self._totals
-        (contig, ref_start, ref_end, ref_seq, alleles, genotype, depth,
-         support, gt_prob, non_alt_preds, in_repeat) = \
-            self.candidate_list_to_variant(all_candidates,
-                                           options.allowed_multiallelics)
-        if len(alleles) <= 0:
+        variant = self.candidate_list_to_variant(
+            all_candidates, options.allowed_multiallelics)
+        if len(variant[4]) <= 0:
             return
-        if ref_start == self._last_position:
+        if variant[1] == self._last_position:
             return
-        max_alt_len = max(len(ref_seq), max(len(x) for x in alleles))
-        self._last_position = ref_start
-        qual = max(1, int(-10 * math.log10(max(1e-9, 1.0 - gt_prob))))
-        failed_variant = False
-        is_snp = max_alt_len == 1
-        if is_snp:
-            cutoff = (options.snp_q_cutoff_in_lc if in_repeat
-                      else options.snp_q_cutoff)
-        else:
-            cutoff = (options.indel_q_cutoff_in_lc if in_repeat
-                      else options.indel_q_cutoff)
-        if qual <= cutoff:
-            failed_variant = True
-
-        is_ref_call = genotype[0] == 0 and genotype[1] == 0
-        selected_for_variant_calling = (is_ref_call or failed_variant)
-        # true division per allele — a reciprocal multiply differs in the
-        # last ulp and crosses round() boundaries (e.g. 3/80)
-        dp = max(1, depth)
-        vafs = [round(ad / dp, 3) for ad in support]
-        filt = "refCall" if is_ref_call else "PASS"
-
-        # str(qual) == format(qual, '.6g') for the int qual range here
-        line = (f"{contig}\t{ref_start + 1}\t.\t{ref_seq}\t"
-                f"{','.join(alleles)}\t{qual}\t{filt}\t.\t"
-                f"GT:AP:GQ:DP:AD:VAF:REP\t"
-                f"{genotype[0]}/{genotype[1]}:"
-                f"{','.join(_fmt_float(p) for p in non_alt_preds) or '.'}:"
-                f"{qual}:{depth}:"
-                f"{','.join(map(str, support))}:"
-                f"{','.join(_fmt_float(v) for v in vafs)}:"
-                f"{'1' if in_repeat else '0'}\n").encode()
+        self._last_position = variant[1]
+        (contig, ref_start, ref_end, line, selected, is_snp) = \
+            render_site_line(variant, options)
 
         def emit(key, total_idx):
             self.files[key].write_record(contig, ref_start, ref_end, line)
-            totals[total_idx] += 1
+            self._totals[total_idx] += 1
 
         emit("full", 0)
-        if selected_for_variant_calling:
+        if selected:
             emit("vc_snp" if is_snp else "vc_indel", 3 if is_snp else 4)
             emit("vc", 2)
         else:

@@ -1,0 +1,190 @@
+"""Native 5-file VCF engine (ctypes wrapper over native/src/vcf_write.cpp).
+
+Drop-in twin of io/vcf.VCFWriteEngine with one addition: a columnar
+`write_sites_batch` fast path that formats + routes + BGZF-writes +
+tabix-indexes single-candidate sites entirely in C++ — the stage-3 VCF
+emission cost drops from ~14us to <1us per record. Rare multi-candidate
+sites run the shared Python renderer (io/vcf.render_site_line) and enter
+the SAME native sink via a raw-record call, preserving stream order.
+
+Output bytes are identical to the Python engine (both drive zlib with the
+same parameters, and the C++ formatter replicates Python's float
+conversions via glibc's correctly-rounded printf/strtod) — enforced by
+fuzz differentials in tests/test_vcf_native.py and by the staged
+(Python engine) vs streamed (native engine) byte-identity suite.
+"""
+import ctypes
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+from pepper_tpu.io.vcf import (render_site_line, vcf_header_text,
+                               VCFWriteEngine)
+from pepper_tpu.native import bamio
+
+_KEYS = ("full", "pepper", "vc", "vc_snp", "vc_indel")
+
+
+def _bind(lib) -> None:
+    if getattr(lib, "_vcf_bound", False):
+        return
+    c = ctypes
+    lib.vcf_sink_create.restype = c.c_void_p
+    lib.vcf_sink_create.argtypes = [
+        c.POINTER(c.c_char_p), c.c_char_p, c.c_int64,
+        c.c_double, c.c_double, c.c_double, c.c_double]
+    lib.vcf_sink_write_batch.restype = c.c_int
+    lib.vcf_sink_write_batch.argtypes = [
+        c.c_void_p, c.c_int64, c.c_char_p,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int32), c.c_char_p,
+        c.POINTER(c.c_int32), c.c_char_p, c.POINTER(c.c_uint8),
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_double),
+        c.POINTER(c.c_double), c.POINTER(c.c_uint8)]
+    lib.vcf_sink_write_raw.restype = c.c_int
+    lib.vcf_sink_write_raw.argtypes = [
+        c.c_void_p, c.c_int, c.c_char_p, c.c_int64, c.c_int64, c.c_char_p,
+        c.c_int64]
+    lib.vcf_sink_totals.argtypes = [c.c_void_p, c.POINTER(c.c_int64)]
+    lib.vcf_sink_totals.restype = None
+    lib.vcf_sink_close.argtypes = [c.c_void_p]
+    lib.vcf_sink_close.restype = c.c_int
+    lib.vcf_sink_abort.argtypes = [c.c_void_p]
+    lib.vcf_sink_abort.restype = None
+    lib._vcf_bound = True
+
+
+def native_vcf_available() -> bool:
+    return bamio.available()
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class NativeVCFWriteEngine:
+    """Same construction surface and site semantics as VCFWriteEngine."""
+
+    def __init__(self, fasta_contigs: Sequence[Tuple[str, int]],
+                 sample_name: str, output_dir: str, options,
+                 filename_full: str = "PEPPER_VARIANT_FULL",
+                 filename_pepper: str = "PEPPER_VARIANT_OUTPUT_PEPPER",
+                 filename_variant_calling: str = "PEPPER_VARIANT_OUTPUT_VARIANT_CALLING"):
+        if not bamio.available():
+            raise RuntimeError("native library unavailable")
+        bamio._load()
+        self._lib = bamio._lib
+        _bind(self._lib)
+        if not output_dir.endswith("/"):
+            output_dir += "/"
+        header = vcf_header_text(sample_name, fasta_contigs).encode()
+        self.paths: Dict[str, str] = {
+            "full": output_dir + filename_full + ".vcf.gz",
+            "pepper": output_dir + filename_pepper + ".vcf.gz",
+            "vc": output_dir + filename_variant_calling + ".vcf.gz",
+            "vc_snp": output_dir + filename_variant_calling + "_SNPs.vcf.gz",
+            "vc_indel": output_dir + filename_variant_calling + "_INDEL.vcf.gz",
+        }
+        arr = (ctypes.c_char_p * 5)(
+            *[self.paths[k].encode() for k in _KEYS])
+        self._options = options
+        self._sink = self._lib.vcf_sink_create(
+            arr, header, len(header),
+            float(options.snp_q_cutoff), float(options.snp_q_cutoff_in_lc),
+            float(options.indel_q_cutoff),
+            float(options.indel_q_cutoff_in_lc))
+        if not self._sink:
+            raise RuntimeError("vcf_sink_create failed")
+        self._last_position = -1
+
+    # ---- batched single-candidate fast path ------------------------------
+    def write_sites_batch(self, contig: str, pos, ref_strs, alt_strs, pg,
+                          depth, support, gt_prob, nap, in_repeat) -> None:
+        """Position-sorted single-candidate sites for ONE contig; rows
+        whose position equals the previous written site's are skipped
+        (VcfWriter's last_position rule, kept engine-level)."""
+        pos = np.ascontiguousarray(pos, np.int64)
+        n = len(pos)
+        if n and pos[0] == self._last_position:
+            return self.write_sites_batch(
+                contig, pos[1:], ref_strs[1:], alt_strs[1:], pg[1:],
+                depth[1:], support[1:], gt_prob[1:], nap[1:], in_repeat[1:])
+        if n == 0:
+            return
+        ref_off = np.zeros(n + 1, np.int32)
+        alt_off = np.zeros(n + 1, np.int32)
+        ref_off[1:] = np.cumsum(np.fromiter(
+            (len(s) for s in ref_strs), np.int32, count=n))
+        alt_off[1:] = np.cumsum(np.fromiter(
+            (len(s) for s in alt_strs), np.int32, count=n))
+        ref_buf = "".join(ref_strs).encode("latin-1")
+        alt_buf = "".join(alt_strs).encode("latin-1")
+        pg = np.ascontiguousarray(pg, np.uint8)
+        depth = np.ascontiguousarray(depth, np.int32)
+        support = np.ascontiguousarray(support, np.int32)
+        gt_prob = np.ascontiguousarray(gt_prob, np.float64)
+        nap = np.ascontiguousarray(nap, np.float64)
+        in_repeat = np.ascontiguousarray(in_repeat, np.uint8)
+        rc = self._lib.vcf_sink_write_batch(
+            self._sink, n, contig.encode(), _ptr(pos, ctypes.c_int64),
+            _ptr(ref_off, ctypes.c_int32), ref_buf,
+            _ptr(alt_off, ctypes.c_int32), alt_buf,
+            _ptr(pg, ctypes.c_uint8), _ptr(depth, ctypes.c_int32),
+            _ptr(support, ctypes.c_int32), _ptr(gt_prob, ctypes.c_double),
+            _ptr(nap, ctypes.c_double), _ptr(in_repeat, ctypes.c_uint8))
+        if rc != 0:
+            raise RuntimeError("native VCF batch write failed")
+        self._last_position = int(pos[-1])
+
+    # ---- per-site path (multi-candidate sites, staged parity) ------------
+    def candidate_list_to_variant(self, candidates, allowed_multiallelics):
+        return VCFWriteEngine.candidate_list_to_variant(
+            self, candidates, allowed_multiallelics)
+
+    def write_site(self, all_candidates, options) -> None:
+        variant = self.candidate_list_to_variant(
+            all_candidates, options.allowed_multiallelics)
+        if len(variant[4]) <= 0:
+            return
+        if variant[1] == self._last_position:
+            return
+        self._last_position = variant[1]
+        contig, ref_start, ref_end, line, selected, is_snp = \
+            render_site_line(variant, options)
+        mask = 1 << 0
+        if selected:
+            mask |= (1 << (3 if is_snp else 4)) | (1 << 2)
+        else:
+            mask |= 1 << 1
+        rc = self._lib.vcf_sink_write_raw(
+            self._sink, mask, contig.encode(), ref_start, ref_end, line,
+            len(line))
+        if rc != 0:
+            raise RuntimeError("native VCF raw write failed")
+
+    def write_vcf_records(self, variants_list, options):
+        for key in sorted(variants_list):
+            self.write_site(variants_list[key], options)
+        return self.totals
+
+    @property
+    def totals(self) -> Tuple[int, int, int, int, int]:
+        if self._sink is None:
+            return self._totals_cache
+        out = (ctypes.c_int64 * 5)()
+        self._lib.vcf_sink_totals(self._sink, out)
+        return tuple(int(v) for v in out)
+
+    _totals_cache: Tuple[int, int, int, int, int] = (0, 0, 0, 0, 0)
+
+    def close(self) -> None:
+        if self._sink:
+            self._totals_cache = self.totals   # readable after close
+            rc = self._lib.vcf_sink_close(self._sink)
+            self._sink = None
+            if rc != 0:
+                raise RuntimeError("native VCF close failed")
+
+    def abort(self) -> None:
+        if self._sink:
+            self._lib.vcf_sink_abort(self._sink)
+            self._sink = None

@@ -16,7 +16,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "src", "bamio.cpp"),
          os.path.join(_DIR, "src", "region_encode.cpp"),
          os.path.join(_DIR, "src", "polish_encode.cpp"),
-         os.path.join(_DIR, "src", "align.cpp")]
+         os.path.join(_DIR, "src", "align.cpp"),
+         os.path.join(_DIR, "src", "vcf_write.cpp")]
 _HDRS = [os.path.join(_DIR, "src", "bam_common.h")]
 _LIB = os.path.join(_DIR, "lib", "libbamio.so")
 

@@ -131,6 +131,55 @@ class _ContigSpanCache:
         return refb, in_repeat
 
 
+class ColumnarDv:
+    """Array-backed DeepVariant candidates for one contig run of one
+    prediction batch — the zero-tuple fast lane from the vectorized gates
+    to the native VCF sink. `ref`/`alts` stay per-row strings (variable
+    length); everything else is numpy. Rows are position-ascending."""
+
+    __slots__ = ("contig", "pos", "ref", "alts", "pg", "depth", "freq",
+                 "gt_prob", "nap", "rep", "preds")
+
+    def __init__(self, contig, pos, ref, alts, pg, depth, freq, gt_prob,
+                 nap, rep, preds):
+        self.contig = contig
+        self.pos = pos
+        self.ref = ref
+        self.alts = alts
+        self.pg = pg
+        self.depth = depth
+        self.freq = freq
+        self.gt_prob = gt_prob
+        self.nap = nap
+        self.rep = rep
+        self.preds = preds
+
+    def __len__(self):
+        return len(self.pos)
+
+    def slice(self, lo: int, hi: int) -> "ColumnarDv":
+        return ColumnarDv(self.contig, self.pos[lo:hi], self.ref[lo:hi],
+                          self.alts[lo:hi], self.pg[lo:hi],
+                          self.depth[lo:hi], self.freq[lo:hi],
+                          self.gt_prob[lo:hi], self.nap[lo:hi],
+                          self.rep[lo:hi], self.preds[lo:hi])
+
+    _GT_TAB = ([0, 0], [0, 1], [1, 1])
+
+    def tuples(self) -> list:
+        """Per-row tuples in the classic dv layout (fallback paths)."""
+        out = []
+        for k in range(len(self.pos)):
+            pg = int(self.pg[k])
+            out.append((self.contig, int(self.pos[k]),
+                        int(self.pos[k]) + len(self.ref[k]), self.ref[k],
+                        [self.alts[k]], list(self._GT_TAB[pg]),
+                        int(self.depth[k]), [int(self.freq[k])],
+                        float(self.gt_prob[k]), list(self.preds[k]),
+                        [float(self.nap[k])], bool(self.rep[k])))
+        return out
+
+
 _ACGT_BYTES = frozenset(b"ACGT")
 
 # test hook: force the scalar gate loop even for single-allele batches so
@@ -140,19 +189,28 @@ _FORCE_LOOP = False
 
 def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
                      contigs, positions, depths, cand_lists, freq_lists,
-                     preds, margin_list: list, deepvariant_list: list) -> None:
+                     preds, margin_list: list, deepvariant_list: list,
+                     columnar_out: Optional[list] = None) -> None:
     """Candidate gates for one prediction batch held in memory
     (CandidateFinder.py:356-531). Appends to margin/deepvariant lists.
 
     contigs: per-row contig names; positions/depths: int arrays;
     cand_lists: per-row allele-string lists; freq_lists: per-row support
-    lists; preds: [N, 3] probability array."""
+    lists; preds: [N, 3] probability array.
+
+    columnar_out: when given AND the single-allele vectorized path
+    applies, passing candidates are appended there as ColumnarDv blocks
+    (no margin/dv tuples are built — the ordered emitter consumes arrays
+    straight into the native VCF sink); otherwise tuples land in
+    deepvariant_list as usual."""
     n = len(contigs)
     if n == 0:
         return
     preds = np.asarray(preds)
-    all_genotypes = np.argmax(preds, axis=1).tolist()
-    all_values = preds[np.arange(n), all_genotypes].tolist()
+    pg_arr = np.argmax(preds, axis=1)
+    values_arr = preds[np.arange(n), pg_arr]
+    all_genotypes = pg_arr.tolist()
+    all_values = values_arr.tolist()
     all_non_alt = np.maximum(preds[:, 1], preds[:, 2]).tolist()
     all_preds = preds.tolist()
     positions = np.asarray(positions, np.int64)
@@ -162,6 +220,7 @@ def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
     # per-contig-run span annotation (a batch is almost always one contig)
     ref_bytes = np.zeros(n, np.uint8)
     in_repeat_arr = np.zeros(n, bool)
+    contig_runs = []
     i = 0
     while i < n:
         j = i + 1
@@ -171,6 +230,7 @@ def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
         span.load(contigs[i], int(pos_grp.min()) - 10,
                   int(pos_grp.max()) + 10)
         ref_bytes[i:j], in_repeat_arr[i:j] = span.annotate(pos_grp)
+        contig_runs.append((i, j, contigs[i]))
         i = j
     valid = [b in _ACGT_BYTES for b in ref_bytes.tolist()]
     in_repeats = in_repeat_arr.tolist()
@@ -195,7 +255,11 @@ def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
         bodies = [a[1:] for a in first]
         valid_allele = np.fromiter((_valid_allele(b) for b in bodies),
                                    bool, n)
-        freqs = np.asarray([f[0] for f in freq_lists], np.int64)
+        # freq_lists may arrive as a flat array (the streamed flush path
+        # avoids materializing 1-element python lists per row)
+        freqs = (np.asarray(freq_lists, np.int64)
+                 if isinstance(freq_lists, np.ndarray)
+                 else np.asarray([f[0] for f in freq_lists], np.int64))
         depths_arr = np.asarray(depths, np.float64)
         vaf = np.where(depths_arr > 0, freqs / np.maximum(depths_arr, 1), 0.0)
         nap = np.maximum(preds[:, 1], preds[:, 2])
@@ -215,6 +279,26 @@ def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
         margin_mask = base_ok & (atype == 1) & (pg != 0)
         dv_mask = base_ok & (p_pass | freq_override)
         del_swap = (atype == 3) & p_pass
+
+        if columnar_out is not None:
+            # zero-tuple lane: arrays all the way to the native VCF sink
+            # (margin tuples skipped — the ordered emitter discards them)
+            sel_all = np.flatnonzero(dv_mask)
+            dsl = del_swap.tolist()
+            depths_i = np.asarray(depths, np.int32)
+            for i0, j0, ctg in contig_runs:
+                m = sel_all[(sel_all >= i0) & (sel_all < j0)]
+                if not len(m):
+                    continue
+                ml = m.tolist()
+                refs = [bodies[k] if dsl[k] else ref_chars[k] for k in ml]
+                alts = [ref_chars[k] if dsl[k] else bodies[k] for k in ml]
+                columnar_out.append(ColumnarDv(
+                    ctg, positions[m], refs, alts,
+                    pg_arr[m].astype(np.uint8), depths_i[m],
+                    freqs[m].astype(np.int32), values_arr[m],
+                    nap[m], in_repeat_arr[m], preds[m]))
+            return
 
         gt_tab = ([0, 0], [0, 1], [1, 1])
         for i in np.flatnonzero(margin_mask).tolist():
@@ -236,6 +320,8 @@ def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
                 all_values[i], all_preds[i], [naps[i]], in_repeats[i]))
         return
 
+    if isinstance(freq_lists, np.ndarray):   # flat array from the stream
+        freq_lists = [[int(f)] for f in freq_lists.tolist()]
     for i in range(n):
         if not valid[i]:
             continue
@@ -385,6 +471,8 @@ class _OrderedEmitter:
                 self._starts[contig] = []
                 self._idx0[contig] = i
             self._starts[contig].append(start)
+        self._starts_np = {c: np.asarray(s, np.int64)
+                           for c, s in self._starts.items()}
         self._totals: Dict[int, int] = {}
         self._gated: Dict[int, int] = {}
         self._buckets: Dict[int, list] = {}
@@ -402,21 +490,111 @@ class _OrderedEmitter:
             self._totals[idx] = n_rows
 
     def gated(self, new_dv: list, runs) -> None:
-        """Collector thread: bucket this batch's passing candidates, credit
-        its rows against their intervals, then emit the final prefix."""
+        """Collector thread: bucket this batch's passing candidates
+        (tuples or ColumnarDv blocks), credit its rows against their
+        intervals, then emit the final prefix."""
         for cand in new_dv:
-            self._buckets.setdefault(
-                self._interval_of(cand[0], cand[1]), []).append(cand)
+            if isinstance(cand, ColumnarDv):
+                self._bucket_columnar(cand)
+            else:
+                self._buckets.setdefault(
+                    self._interval_of(cand[0], cand[1]), []).append(cand)
         with self._lock:
             for idx, k in runs:
                 self._gated[idx] = self._gated.get(idx, 0) + k
         self.advance()
 
+    def _bucket_columnar(self, col: ColumnarDv) -> None:
+        """Vectorized interval assignment: rows are position-ascending, so
+        interval indices are non-decreasing and the block splits into a
+        handful of contiguous slices."""
+        starts = self._starts_np[col.contig]
+        idx = np.searchsorted(starts, col.pos, side="right") - 1
+        np.maximum(idx, 0, out=idx)
+        idx += self._idx0[col.contig]
+        bounds = (np.flatnonzero(np.diff(idx)) + 1).tolist() + [len(idx)]
+        lo = 0
+        for hi in bounds:
+            if hi > lo:
+                self._buckets.setdefault(int(idx[lo]), []).append(
+                    col.slice(lo, hi))
+            lo = hi
+
     def _is_final(self, idx: int) -> bool:
         total = self._totals.get(idx)
         return total is not None and self._gated.get(idx, 0) >= total
 
+    _GT_TO_PG = {(0, 0): 0, (0, 1): 1, (1, 1): 2}
+
+    def _write_batched(self, bucket: list) -> None:
+        """Emit one finalized interval's sorted bucket through the native
+        engine: maximal runs of single-candidate sites go down the
+        columnar C++ fast path; multi-candidate sites take the shared
+        per-site renderer. Order (and therefore output bytes) is
+        identical to the per-site loop."""
+        writer = self.writer
+        n = len(bucket)
+        i = 0
+        run: list = []
+
+        def flush_run():
+            if not run:
+                return
+            writer.write_sites_batch(
+                run[0][0], [c[1] for c in run], [c[3] for c in run],
+                [c[4][0] for c in run],
+                [self._GT_TO_PG[tuple(c[5])] for c in run],
+                [c[6] for c in run], [c[7][0] for c in run],
+                [c[8] for c in run], [c[10][0] for c in run],
+                [c[11] for c in run])
+            run.clear()
+
+        while i < n:
+            j = i + 1
+            while j < n and bucket[j][1] == bucket[i][1]:
+                j += 1
+            c = bucket[i]
+            if (j - i == 1 and len(c[4]) == 1 and len(c[7]) == 1
+                    and len(c[10]) == 1):
+                run.append(c)
+            else:
+                flush_run()
+                writer.write_site(_dedupe_site(bucket[i:j]), self._config)
+            i = j
+        flush_run()
+
+    def _write_columnar(self, blocks: list) -> bool:
+        """All-array emission of one interval's bucket into the native
+        sink. Returns False when a duplicate position exists (rare
+        multi-candidate site) — the caller falls back to the tuple path,
+        preserving the per-site de-dup semantics."""
+        if len(blocks) == 1:
+            b = blocks[0]
+            pos, refs, alts = b.pos, b.ref, b.alts
+            pg, depth, freq = b.pg, b.depth, b.freq
+            gt_prob, nap, rep = b.gt_prob, b.nap, b.rep
+        else:
+            pos = np.concatenate([b.pos for b in blocks])
+            order = np.argsort(pos, kind="stable").tolist()
+            refs_c = [s for b in blocks for s in b.ref]
+            alts_c = [s for b in blocks for s in b.alts]
+            refs = [refs_c[k] for k in order]
+            alts = [alts_c[k] for k in order]
+            pos = pos[order]
+            pg = np.concatenate([b.pg for b in blocks])[order]
+            depth = np.concatenate([b.depth for b in blocks])[order]
+            freq = np.concatenate([b.freq for b in blocks])[order]
+            gt_prob = np.concatenate([b.gt_prob for b in blocks])[order]
+            nap = np.concatenate([b.nap for b in blocks])[order]
+            rep = np.concatenate([b.rep for b in blocks])[order]
+        if len(pos) > 1 and np.any(pos[1:] == pos[:-1]):
+            return False
+        self.writer.write_sites_batch(blocks[0].contig, pos, refs, alts,
+                                      pg, depth, freq, gt_prob, nap, rep)
+        return True
+
     def advance(self) -> None:
+        batched = hasattr(self.writer, "write_sites_batch")
         while self._head < self._n:
             with self._lock:
                 if not self._is_final(self._head):
@@ -426,7 +604,19 @@ class _OrderedEmitter:
             bucket = self._buckets.pop(head, None)
             if not bucket:
                 continue
+            if batched and all(isinstance(e, ColumnarDv) for e in bucket):
+                if self._write_columnar(bucket):
+                    continue
+            # mixed/tuple path: expand columnar blocks to classic tuples
+            expanded: list = []
+            for e in bucket:
+                expanded.extend(e.tuples() if isinstance(e, ColumnarDv)
+                                else [e])
+            bucket = expanded
             bucket.sort(key=lambda c: c[1])  # stable: arrival order kept
+            if batched:
+                self._write_batched(bucket)
+                continue
             i = 0
             while i < len(bucket):
                 j = i + 1
@@ -490,11 +680,16 @@ class StreamingCandidateCollector:
                 if self._emitter is not None:
                     # ordered mode: records are written behind the device
                     # and finish()'s lists go unused — keep only the
-                    # per-batch slice alive, not the whole genome's
+                    # per-batch slice alive, not the whole genome's.
+                    # With the native sink, candidates stay columnar
+                    # (ColumnarDv) from the gates to the C++ writer.
                     margin_batch: list = []
                     dv_batch: list = []
-                    batch_candidates(self._config, span, *batch,
-                                     margin_batch, dv_batch)
+                    use_columnar = hasattr(self._emitter.writer,
+                                           "write_sites_batch")
+                    batch_candidates(
+                        self._config, span, *batch, margin_batch, dv_batch,
+                        columnar_out=dv_batch if use_columnar else None)
                     self._emitter.gated(dv_batch, runs)
                 else:
                     batch_candidates(self._config, span, *batch,
@@ -546,14 +741,26 @@ class StreamingCandidateCollector:
 def make_ordered_emitter(config: PipelineConfig, output_dir: str,
                          intervals) -> _OrderedEmitter:
     """Ordered-emission VCF writer for single-host streamed runs;
-    `intervals` must be (contig, start)-sorted (lexicographic)."""
+    `intervals` must be (contig, start)-sorted (lexicographic).
+
+    Uses the native 5-file sink (io/vcf_native.py, byte-identical to the
+    Python engine) when the native library is available — stage 3's VCF
+    emission then formats/compresses/indexes in C++. PEPPER_TPU_NATIVE_VCF=0
+    forces the Python engine."""
     os.makedirs(output_dir, exist_ok=True)
     with FastaReader(config.fasta) as fa:
         fasta_contigs = [(name, fa.get_chromosome_sequence_length(name))
                          for name in fa.get_chromosome_names()]
-    writer = VCFWriteEngine(fasta_contigs, config.sample_name,
-                            output_dir if output_dir.endswith("/")
-                            else output_dir + "/")
+    out = output_dir if output_dir.endswith("/") else output_dir + "/"
+    writer = None
+    if os.environ.get("PEPPER_TPU_NATIVE_VCF", "1") != "0":
+        from pepper_tpu.io.vcf_native import (NativeVCFWriteEngine,
+                                              native_vcf_available)
+        if native_vcf_available():
+            writer = NativeVCFWriteEngine(fasta_contigs, config.sample_name,
+                                          out, config)
+    if writer is None:
+        writer = VCFWriteEngine(fasta_contigs, config.sample_name, out)
     return _OrderedEmitter(writer, config, intervals)
 
 

@@ -346,10 +346,11 @@ def stream_inference(config: PipelineConfig, intervals,
         store.write_prediction(batch_no, contigs, positions, depths,
                                cand_lists, freqs, probs_np)
         if candidate_collector is not None:
+            # freqs pass as a flat array; the gates materialize per-row
+            # lists only on the (rare) scalar path
             candidate_collector.add(
                 contigs, positions, depths, cand_lists,
-                [[int(f)] for f in np.ravel(freqs).tolist()], probs_np,
-                runs)
+                np.ravel(np.asarray(freqs)), probs_np, runs)
         batch_no += 1
         if journal is not None and journal_batch:
             journal.append(("batch", list(contigs), np.asarray(positions),
