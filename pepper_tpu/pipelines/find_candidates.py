@@ -209,13 +209,8 @@ def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
     preds = np.asarray(preds)
     pg_arr = np.argmax(preds, axis=1)
     values_arr = preds[np.arange(n), pg_arr]
-    all_genotypes = pg_arr.tolist()
-    all_values = values_arr.tolist()
-    all_non_alt = np.maximum(preds[:, 1], preds[:, 2]).tolist()
-    all_preds = preds.tolist()
+    nap_arr = np.maximum(preds[:, 1], preds[:, 2])
     positions = np.asarray(positions, np.int64)
-    all_positions = positions.tolist()
-    all_depths = np.asarray(depths).tolist()
 
     # per-contig-run span annotation (a batch is almost always one contig)
     ref_bytes = np.zeros(n, np.uint8)
@@ -232,9 +227,16 @@ def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
         ref_bytes[i:j], in_repeat_arr[i:j] = span.annotate(pos_grp)
         contig_runs.append((i, j, contigs[i]))
         i = j
-    valid = [b in _ACGT_BYTES for b in ref_bytes.tolist()]
-    in_repeats = in_repeat_arr.tolist()
+    valid_np = np.isin(ref_bytes, np.frombuffer(b"ACGT", np.uint8))
     ref_chars = ref_bytes.tobytes().decode("latin-1")
+
+    def _lists():
+        # per-row python views, built only for the tuple-building paths
+        # (the columnar fast lane never touches them)
+        return (pg_arr.tolist(), values_arr.tolist(), nap_arr.tolist(),
+                preds.tolist(), positions.tolist(),
+                np.asarray(depths).tolist(), valid_np.tolist(),
+                in_repeat_arr.tolist())
 
     snp_p, snp_p_lc = config.snp_p_value, config.snp_p_value_in_lc
     ins_p, ins_p_lc = config.insert_p_value, config.insert_p_value_in_lc
@@ -262,9 +264,9 @@ def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
                  else np.asarray([f[0] for f in freq_lists], np.int64))
         depths_arr = np.asarray(depths, np.float64)
         vaf = np.where(depths_arr > 0, freqs / np.maximum(depths_arr, 1), 0.0)
-        nap = np.maximum(preds[:, 1], preds[:, 2])
-        pg = np.asarray(all_genotypes)
-        valid_arr = np.asarray(valid)
+        nap = nap_arr
+        pg = pg_arr
+        valid_arr = valid_np
         rep = in_repeat_arr
 
         p_pass = np.where(
@@ -297,9 +299,11 @@ def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
                     ctg, positions[m], refs, alts,
                     pg_arr[m].astype(np.uint8), depths_i[m],
                     freqs[m].astype(np.int32), values_arr[m],
-                    nap[m], in_repeat_arr[m], preds[m]))
+                    nap_arr[m], in_repeat_arr[m], preds[m]))
             return
 
+        (all_genotypes, all_values, _all_non_alt, all_preds,
+         all_positions, all_depths, _valid, in_repeats) = _lists()
         gt_tab = ([0, 0], [0, 1], [1, 1])
         for i in np.flatnonzero(margin_mask).tolist():
             margin_list.append((
@@ -320,6 +324,8 @@ def batch_candidates(config: PipelineConfig, span: _ContigSpanCache,
                 all_values[i], all_preds[i], [naps[i]], in_repeats[i]))
         return
 
+    (all_genotypes, all_values, all_non_alt, all_preds, all_positions,
+     all_depths, valid, in_repeats) = _lists()
     if isinstance(freq_lists, np.ndarray):   # flat array from the stream
         freq_lists = [[int(f)] for f in freq_lists.tolist()]
     for i in range(n):

@@ -56,8 +56,10 @@ class ResumeJournal:
         crc = zlib.crc32(payload)
         self._fh.write(struct.pack("<II", len(payload), crc))
         self._fh.write(payload)
+        # flush to the OS, no fsync: page-cache data survives kill -9 (the
+        # resume threat model); a record lost to an OS crash only means
+        # one interval re-encodes — the CRC framing drops any torn tail
         self._fh.flush()
-        os.fsync(self._fh.fileno())
 
     def append(self, record) -> None:
         with self._lock:
