@@ -2,10 +2,11 @@
 """Benchmark suite: variant-calling end-to-end + polish + realigner.
 
 Primary metric (the headline JSON line): END-TO-END `call_variant` Mbp/s —
-all three stages on synthetic ONT-like data (1 Mbp genome, 35x coverage,
-10 kb reads, 8% error) with the streamed encode->inference pipeline
-(runtime/streaming.py) feeding the real jitted model on the available
-accelerator, then candidate finding + 5-VCF write.
+all three stages on synthetic ONT-like data (10 Mbp over 5 contigs, 35x
+coverage, 10 kb reads, 8% error; median of 3 runs) with the streamed
+encode->inference pipeline (runtime/streaming.py) feeding the real jitted
+model on the available accelerator, candidate gates and the native
+5-file VCF sink running behind the device.
 
 Baseline (vs_baseline): the reference's deployment model on THIS host —
 N caller processes each running 1-thread CPU RNN inference
@@ -182,11 +183,14 @@ def tpu_inference_only(images):
     except Exception:
         pass
     jax.block_until_ready(fwd(params, jnp.asarray(x[:device_batch])))
+    reps = 3   # sub-0.1s single passes read as >100% of peak otherwise
     t0 = time.time()
-    outs = [fwd(params, jnp.asarray(x[lo:lo + device_batch]))
-            for lo in range(0, len(x), device_batch)]
-    jax.block_until_ready(outs)
-    return time.time() - t0, jax.devices()[0].platform, flops_per_window
+    for _ in range(reps):
+        outs = [fwd(params, jnp.asarray(x[lo:lo + device_batch]))
+                for lo in range(0, len(x), device_batch)]
+        jax.block_until_ready(outs)
+    return (time.time() - t0) / reps, jax.devices()[0].platform, \
+        flops_per_window
 
 
 def torch_cpu_inference(images):
@@ -202,10 +206,12 @@ def torch_cpu_inference(images):
                                          np.float32)]) if pad else subset
     with torch.no_grad():
         model(torch.from_numpy(x[:BATCH]))  # warmup
-        t0 = time.time()
-        for lo in range(0, len(x), BATCH):
-            model(torch.from_numpy(x[lo:lo + BATCH]))
-    dt = time.time() - t0
+        dt = float("inf")
+        for _ in range(2):   # best-of-2: host steal would inflate the
+            t0 = time.time()  # BASELINE (flattering us) otherwise
+            for lo in range(0, len(x), BATCH):
+                model(torch.from_numpy(x[lo:lo + BATCH]))
+            dt = min(dt, time.time() - t0)
     return dt * len(images) / max(1, len(x))
 
 
@@ -273,12 +279,14 @@ def torch_polish_window_inference(n_seqs):
     x = torch.rand(sample, 1000, 10)
     with torch.no_grad():
         model(x[:, :100], torch.zeros(sample, 2, 128))  # warmup
-        t0 = time.time()
-        hidden = torch.zeros(sample, 2, 128)
-        for s in range(0, 901, 50):
-            out, hidden = model(x[:, s:s + 100], hidden)
-            torch.nn.functional.softmax(out, dim=2)
-        dt = time.time() - t0
+        dt = float("inf")
+        for _ in range(2):   # best-of-2 (same rationale as the variant
+            t0 = time.time()  # baseline: steal must not flatter us)
+            hidden = torch.zeros(sample, 2, 128)
+            for s in range(0, 901, 50):
+                out, hidden = model(x[:, s:s + 100], hidden)
+                torch.nn.functional.softmax(out, dim=2)
+            dt = min(dt, time.time() - t0)
     return dt * n_seqs / sample
 
 
@@ -369,9 +377,9 @@ def main():
     ncpu = os.cpu_count() or 2
     encode_all(fasta, bam, ncpu)  # warmup: lazily-provisioned microVM pages
     curve = {}
-    for t in sorted({1, 2, 4, ncpu}):
+    for t in sorted({1, 2, ncpu} | ({4} if ncpu >= 4 else set())):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):   # best-of-3: this host's steal spikes are 2-5x
             t0 = time.time()
             images = encode_all(fasta, bam, t)
             best = min(best, time.time() - t0)
@@ -472,7 +480,9 @@ def main():
     # ---- polish workload --------------------------------------------------
     try:
         _, cold_split, _ = bench_polish(ncpu)        # cold: includes compile
-        polish_mbps, split, n_seqs = bench_polish(ncpu)  # warm
+        warm = sorted((bench_polish(ncpu) for _ in range(3)),
+                      key=lambda r: sum(r[1]))
+        polish_mbps, split, n_seqs = warm[1]         # median of 3 warm
         t_stream, t_stitch = split
         polish_dt = sum(split)
         cold_dt = sum(cold_split)
