@@ -201,3 +201,70 @@ def test_last_position_skip_and_two_contigs(tmp_path):
     # by then — last_position is not a per-contig seen-set)
     assert [(r.contig, r.pos) for r in recs] == [
         ("chr1", 100), ("chr1", 200), ("chr2", 300), ("chr1", 200)]
+
+
+def test_emitter_columnar_matches_tuple_path(tmp_path):
+    """The ordered emitter's columnar lane (ColumnarDv -> native batch
+    writes, duplicate-position fallback included) produces the same bytes
+    as the classic tuple/per-site path over the Python engine — fuzzed
+    buckets with same-position multi-candidate sites and cross-batch
+    interval splits."""
+    from pepper_tpu.pipelines.find_candidates import (ColumnarDv,
+                                                      _OrderedEmitter)
+    opts = options()
+    rng = np.random.default_rng(41)
+    intervals = [("chr1", 0, 99_999), ("chr1", 100_000, 199_999),
+                 ("chr2", 0, 99_999)]
+
+    def build_blocks():
+        """ColumnarDv blocks spanning the intervals, with a couple of
+        duplicate positions (multi-candidate sites -> fallback path)."""
+        blocks = []
+        for contig, lo, n in (("chr1", 50, 300), ("chr1", 100_050, 200),
+                              ("chr2", 10, 150)):
+            pos = np.sort(rng.choice(np.arange(lo, lo + 60_000), n,
+                                     replace=False))
+            # duplicate a few positions (same-position second allele)
+            dup = pos[rng.integers(0, n, 4)]
+            pos = np.sort(np.concatenate([pos, dup]))
+            m = len(pos)
+            alts = ["ACGT"[int(i)] for i in rng.integers(0, 4, m)]
+            preds = rng.random((m, 3)) ** 2
+            preds /= preds.sum(1, keepdims=True)
+            pg = np.where(
+                (preds[:, 0] >= preds[:, 1]) & (preds[:, 0] >= preds[:, 2]),
+                0, np.where(preds[:, 1] >= preds[:, 2], 1, 2))
+            blocks.append(ColumnarDv(
+                contig, pos.astype(np.int64), ["A"] * m, alts,
+                pg.astype(np.uint8),
+                rng.integers(1, 60, m).astype(np.int32),
+                rng.integers(0, 40, m).astype(np.int32),
+                preds[np.arange(m), pg],
+                np.maximum(preds[:, 1], preds[:, 2]),
+                rng.random(m) < 0.25, preds))
+        return blocks
+
+    blocks = build_blocks()
+
+    def run(writer, as_tuples):
+        em = _OrderedEmitter(writer, opts, intervals)
+        for i in range(len(intervals)):
+            em.note_interval(i, 1)
+        for b in blocks:
+            em.gated(b.tuples() if as_tuples else [b],
+                     [(0, 0)])   # credit rows separately below
+        em.gated([], [(i, 1) for i in range(len(intervals))])
+        return em.finish()
+
+    pydir = str(tmp_path / "py") + "/"
+    ntdir = str(tmp_path / "nt") + "/"
+    os.makedirs(pydir), os.makedirs(ntdir)
+    py_tot, py_paths = run(VCFWriteEngine(CONTIGS, "S", pydir), True)
+    nt_tot, nt_paths = run(
+        NativeVCFWriteEngine(CONTIGS, "S", ntdir, opts), False)
+    assert py_tot == nt_tot
+    pyb = read_all_bytes(py_paths)
+    ntb = read_all_bytes(nt_paths)
+    for k in pyb:
+        assert pyb[k] == ntb[k], f"{k} differs between emitter paths"
+    assert any(nt_tot), "fuzz should write records"
