@@ -57,6 +57,10 @@ def _add_inference(p):
                    default=False,
                    help="In streaming mode, also write the stage-1 image "
                         "HDF5s (as artifacts, not a barrier).")
+    p.add_argument("--no_resume", dest="resume", action="store_false",
+                   default=True,
+                   help="Disable the per-region resume journal (a killed "
+                        "streamed run then restarts from scratch).")
     p.add_argument("--dry", action="store_true", default=False,
                    help="Oracle backend: emit labels as predictions (pipeline test).")
     p.add_argument("-m", "--model_path", default=None,
