@@ -424,9 +424,10 @@ def main():
         f"spread {spread:.2f}s): {t_e2e:.2f}s = stream+gates+vcf "
         f"{t_stream:.2f}s + tail {t_tail:.2f}s ({n_cand} candidates) "
         f"-> {ours:.3f} Mbp/s")
-    log(f"streaming overhead vs pure encode: "
-        f"{100 * (t_stream / t_host - 1):.0f}% "
-        f"(chip idle time removed: stream hides {t_dev:.3f}s device work)")
+    log(f"full-pipeline cost over pure encode: "
+        f"{100 * (t_stream / t_host - 1):.0f}% — the stream carries "
+        f"stages 2+3 (inference, gates, VCF write, resume journal) behind "
+        f"the encode; chip work hidden: {t_dev:.3f}s")
 
     # ---- reference-style baseline on this host ---------------------------
     # the reference runs stage 3 post hoc over the prediction files; time
