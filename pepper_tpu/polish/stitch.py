@@ -112,6 +112,11 @@ class StreamingStitcher:
     (datastore.read_chunks)."""
 
     def __init__(self, intervals, output_path: str):
+        import threading
+        # note_interval (stream consumer thread) and add (store flusher
+        # thread) both advance the watermark — one coarse lock serializes
+        # them (stitch work only happens when a contig completes)
+        self._mutex = threading.Lock()
         self._totals: Dict[str, int] = {}
         for contig, _s, _e in intervals:
             self._totals[contig] = self._totals.get(contig, 0) + 1
@@ -129,17 +134,19 @@ class StreamingStitcher:
     def note_interval(self, contig: str, n_seqs: int) -> None:
         """Every interval reports (empty ones too) — the watermark needs
         complete per-contig accounting."""
-        self._seen[contig] += 1
-        self._exp_seqs[contig] += n_seqs
-        self._advance()
+        with self._mutex:
+            self._seen[contig] += 1
+            self._exp_seqs[contig] += n_seqs
+            self._advance()
 
     def add(self, contig: str, start: int, end: int, chunk_id: int,
             position, index, bases) -> None:
-        self._parts[contig].append(
-            (start, end, str(chunk_id),
-             _filter_part(start, position, index, bases)))
-        self._flushed[contig] += 1
-        self._advance()
+        with self._mutex:
+            self._parts[contig].append(
+                (start, end, str(chunk_id),
+                 _filter_part(start, position, index, bases)))
+            self._flushed[contig] += 1
+            self._advance()
 
     def _complete(self, contig: str) -> bool:
         return (self._seen[contig] == self._totals[contig]
@@ -162,7 +169,8 @@ class StreamingStitcher:
                 self._fh.write(seq + "\n")
 
     def finish(self) -> str:
-        self._advance()
+        with self._mutex:
+            self._advance()
         if self._head != len(self._order):
             missing = [c for c in self._order if not self._complete(c)]
             raise RuntimeError(

@@ -152,6 +152,38 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
                 stitcher.add(contig, start, end, chunk_id, position, index,
                              base_labels)
 
+    # a dedicated flusher owns the device sync + per-sequence HDF5 group
+    # writes + stitcher feed (~600 h5py group creations per 300 kb were
+    # serializing the consumer loop); mirrors the variant-side flusher
+    flush_q: "queue.Queue" = queue.Queue(maxsize=6)
+
+    def flusher():
+        try:
+            while True:
+                item = flush_q.get()
+                if item is None:
+                    return
+                flush(*item)
+        except BaseException as exc:
+            errors.append(exc)
+            raise
+
+    flush_thread = threading.Thread(target=flusher, daemon=True)
+    flush_thread.start()
+
+    def _put_flush(item) -> None:
+        # never block forever on a dead flusher: surface its error instead
+        while True:
+            if errors:
+                raise RuntimeError(
+                    f"polish streaming shard failed: {errors[0]}") \
+                    from errors[0]
+            try:
+                flush_q.put(item, timeout=1.0)
+                return
+            except queue.Full:
+                continue
+
     try:
         while done_sentinels < n_threads:
             item = results.get()
@@ -178,18 +210,26 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
                     pending.append(submit(metas, images_buf))
                     metas, images_buf = [], []
                     while len(pending) > 2:
-                        flush(*pending.pop(0))
+                        _put_flush(pending.pop(0))
+        if metas and not errors:
+            pending.append(submit(metas, images_buf))
+        for batch in pending:
+            _put_flush(batch)
     finally:
         stop.set()   # consumer exiting (normally or not): unblock producers
     for t in producers:
         t.join()
+    # checked sentinel delivery (a dead flusher may leave flush_q full)
+    while flush_thread.is_alive():
+        try:
+            flush_q.put(None, timeout=0.2)
+            break
+        except queue.Full:
+            continue
+    flush_thread.join()
     if errors:
         raise RuntimeError(f"polish streaming shard failed: {errors[0]}") \
             from errors[0]
-    if metas:
-        pending.append(submit(metas, images_buf))
-    for batch in pending:
-        flush(*batch)
     store.close()
     if image_store is not None:
         image_store.close()
