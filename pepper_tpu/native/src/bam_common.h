@@ -209,9 +209,11 @@ inline int parse_hp_tag(const uint8_t* aux, size_t n) {
   return 0;
 }
 
-// Parse one record body (after the 4-byte block_size) into rec.
-inline void parse_record(const std::vector<uint8_t>& raw, BamRecord& rec) {
-  int32_t l_seq;
+// Parse the record HEAD (ids, flags, name, cigar -> ref_span) only; the
+// caller can then span-filter before paying for sequence/qual decode.
+// Returns the byte offset where seq data starts (for parse_record_body).
+inline size_t parse_record_head(const std::vector<uint8_t>& raw,
+                                BamRecord& rec) {
   memcpy(&rec.ref_id, raw.data(), 4);
   int32_t rpos;
   memcpy(&rpos, raw.data() + 4, 4);
@@ -221,7 +223,6 @@ inline void parse_record(const std::vector<uint8_t>& raw, BamRecord& rec) {
   uint16_t n_cigar;
   memcpy(&n_cigar, raw.data() + 12, 2);
   memcpy(&rec.flag, raw.data() + 14, 2);
-  memcpy(&l_seq, raw.data() + 16, 4);
   size_t off = 32;
   rec.name.assign((const char*)raw.data() + off, l_read_name - 1);
   off += l_read_name;
@@ -235,7 +236,14 @@ inline void parse_record(const std::vector<uint8_t>& raw, BamRecord& rec) {
     if (op == OP_M || op == OP_D || op == OP_N || op == OP_EQ || op == OP_X)
       rec.ref_span += len;
   }
-  off += 4ull * n_cigar;
+  return off + 4ull * n_cigar;
+}
+
+// Decode seq/qual/aux (the expensive part) after the head.
+inline void parse_record_body(const std::vector<uint8_t>& raw, size_t off,
+                              BamRecord& rec) {
+  int32_t l_seq;
+  memcpy(&l_seq, raw.data() + 16, 4);
   rec.seq.resize(l_seq);
   const uint8_t* sb = raw.data() + off;
   // nibble-pair LUT: one table lookup emits two decoded bases
@@ -258,6 +266,11 @@ inline void parse_record(const std::vector<uint8_t>& raw, BamRecord& rec) {
   rec.qual.assign(raw.data() + off, raw.data() + off + l_seq);
   off += l_seq;
   rec.hp = parse_hp_tag(raw.data() + off, raw.size() - off);
+}
+
+// Parse one record body (after the 4-byte block_size) into rec.
+inline void parse_record(const std::vector<uint8_t>& raw, BamRecord& rec) {
+  parse_record_body(raw, parse_record_head(raw, rec), rec);
 }
 
 // Iterate records in the chunk list; calls fn(rec) for records on want_ref
@@ -296,8 +309,11 @@ void for_each_record(const char* bam_path, const uint64_t* chunks,
         continue;
       if (!include_suppl && (flag & FLAG_SUPPLEMENTARY)) continue;
       if (raw[9] < min_mapq) continue;
-      parse_record(raw, rec);
+      // head first: records ending before the window skip the (10x more
+      // expensive) sequence/quality decode entirely
+      size_t body_off = parse_record_head(raw, rec);
       if (rec.pos + rec.ref_span <= start) continue;
+      parse_record_body(raw, body_off, rec);
       fn(rec);
     }
   }
