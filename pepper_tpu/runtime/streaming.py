@@ -260,21 +260,28 @@ def stream_inference(config: PipelineConfig, intervals,
     replayed: list = []
     skip: dict = {}
     if resume_journal is not None:
-        from pepper_tpu.runtime.resume import (ResumeJournal,
+        from pepper_tpu.runtime.resume import (ResumeJournal, compact_journal,
                                                completed_intervals,
                                                load_journal, replay_slices)
-        loaded = load_journal(resume_journal, intervals, config.model_path)
+        inputs = (config.bam, config.fasta)
+        loaded = load_journal(resume_journal, intervals, config.model_path,
+                              inputs)
         if loaded is not None:
             totals, batches = loaded
             skip = completed_intervals(totals, batches)
             replayed = list(replay_slices(batches, skip))
+            # drop the incomplete intervals' stale partial rows BEFORE any
+            # new appends: old + new partials for one interval would
+            # double-count toward its total on the next resume
+            compact_journal(resume_journal, intervals, config.model_path,
+                            inputs, skip, replayed)
             if skip:
                 _log(f"RESUME: {len(skip)}/{len(intervals)} INTERVALS "
                      f"REPLAYED FROM JOURNAL")
         elif os.path.isfile(resume_journal):
             os.remove(resume_journal)   # stale/incompatible journal
         journal = ResumeJournal(resume_journal, intervals,
-                                config.model_path)
+                                config.model_path, inputs)
 
     # big fixed batches: fewer dispatches/transfers, same one compilation
     # (floor overridable for tests that need several flushes on tiny data)

@@ -108,6 +108,112 @@ def test_kill9_resume_byte_identical(dataset):
         "journal must be deleted after a successful run"
 
 
+def test_double_crash_resume_byte_identical(dataset):
+    """A second kill -9 mid-resume must still converge byte-identically:
+    the compaction pass drops the first crash's partial rows, so old+new
+    partials can never jointly (and falsely) complete an interval."""
+    ref_out = os.path.join(dataset["tmp"], "ref2_out/")
+    p = _run(dataset, ref_out, "ref2")
+    assert p.returncode == 0, p.stderr.decode()[-3000:]
+    ref = _vcf_bytes(ref_out)
+
+    out = os.path.join(dataset["tmp"], "crash2_out/")
+    p = _run(dataset, out, "crash2a", crash_after=2)
+    assert p.returncode == 9, (p.returncode, p.stderr.decode()[-2000:])
+    # second crash DURING the resumed run (crash counter only counts
+    # newly journaled batches, not replayed ones)
+    p = _run(dataset, out, "crash2b", crash_after=1)
+    assert p.returncode == 9, (p.returncode, p.stderr.decode()[-2000:])
+    p = _run(dataset, out, "resume2")
+    assert p.returncode == 0, p.stderr.decode()[-3000:]
+    assert "REPLAYED FROM JOURNAL" in p.stderr.decode()
+    assert _vcf_bytes(out) == ref, \
+        "twice-crashed run must still resume byte-identically"
+
+
+def test_touched_bam_rejects_journal(dataset):
+    """Changing the input BAM after a crash must invalidate the journal:
+    replaying stale predictions against new reads would silently corrupt
+    the VCF (VERDICT r4 weak #3)."""
+    ref_out = os.path.join(dataset["tmp"], "ref3_out/")
+    p = _run(dataset, ref_out, "ref3")
+    assert p.returncode == 0, p.stderr.decode()[-3000:]
+    ref = _vcf_bytes(ref_out)
+
+    out = os.path.join(dataset["tmp"], "crash3_out/")
+    p = _run(dataset, out, "crash3", crash_after=2)
+    assert p.returncode == 9, (p.returncode, p.stderr.decode()[-2000:])
+    os.utime(dataset["bam"])   # same bytes, new mtime = new identity
+    p = _run(dataset, out, "resume3")
+    assert p.returncode == 0, p.stderr.decode()[-3000:]
+    assert "REPLAYED FROM JOURNAL" not in p.stderr.decode(), \
+        "journal written against a different BAM identity must be rejected"
+    assert _vcf_bytes(out) == ref
+
+
+def test_record_roundtrip():
+    from pepper_tpu.runtime.resume import _decode_record, _encode_record
+    assert _decode_record(_encode_record(("total", 7, 123))) \
+        == ("total", 7, 123)
+    batch = ("batch", ["c1", "c1", "c2"], np.array([5, 9, 11], np.int64),
+             np.array([30, 31, 32], np.int32),
+             [["1A"], ["2AT", "3G"], []],
+             np.array([4, 5, 6], np.int32),
+             np.arange(9, dtype=np.float64).reshape(3, 3),
+             [(0, 2), (3, 1)])
+    kind, contigs, pos, dep, cands, freqs, probs, runs = \
+        _decode_record(_encode_record(batch))
+    assert (kind, contigs, cands, runs) == \
+        ("batch", batch[1], batch[4], [(0, 2), (3, 1)])
+    np.testing.assert_array_equal(pos, batch[2])
+    np.testing.assert_array_equal(dep, batch[3])
+    np.testing.assert_array_equal(freqs, batch[5])
+    np.testing.assert_array_equal(probs, batch[6])
+    # object dtypes are refused outright (no pickle, no code execution)
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        _encode_record(("batch", ["c"], np.array([object()]),
+                        np.zeros(1), [[]], np.zeros(1), np.zeros((1, 3)),
+                        [(0, 1)]))
+
+
+def test_compaction_drops_incomplete_partials(tmp_path):
+    """After compaction the journal holds only completed intervals; a
+    fresh partial flush for a previously-partial interval cannot
+    double-count with the stale rows."""
+    from pepper_tpu.runtime.resume import (ResumeJournal, compact_journal,
+                                           completed_intervals,
+                                           load_journal, replay_slices)
+    path = str(tmp_path / "j.journal")
+    intervals = [("c1", 0, 999), ("c1", 1000, 1999)]
+    j = ResumeJournal(path, intervals, "m.npz")
+    j.append(("total", 0, 2))
+    j.append(("total", 1, 4))
+    # interval 0 complete (2 rows), interval 1 partial (3 of 4 rows)
+    j.append(("batch", ["c1"] * 5, np.arange(5), np.full(5, 9),
+              [["1A"]] * 5, np.arange(5), np.full((5, 3), 0.5),
+              [(0, 2), (1, 3)]))
+    j.close()
+    totals, batches = load_journal(path, intervals, "m.npz")
+    comp = completed_intervals(totals, batches)
+    assert comp == {0: 2}
+    replayed = list(replay_slices(batches, comp))
+    compact_journal(path, intervals, "m.npz", (), comp, replayed)
+
+    # the resumed run re-encodes interval 1 and crashes after a partial
+    # flush of 3 NEW rows: 3 old (dropped by compaction) + 3 new must NOT
+    # fake-complete the 4-row interval
+    j = ResumeJournal(path, intervals, "m.npz")
+    j.append(("total", 1, 4))
+    j.append(("batch", ["c1"] * 3, np.arange(3), np.full(3, 9),
+              [["1A"]] * 3, np.arange(3), np.full((3, 3), 0.5),
+              [(1, 3)]))
+    j.close()
+    totals, batches = load_journal(path, intervals, "m.npz")
+    assert completed_intervals(totals, batches) == {0: 2}, \
+        "interval 1 has only 3/4 rows flushed in the current generation"
+
+
 def test_journal_rejects_mismatched_fingerprint(tmp_path):
     from pepper_tpu.runtime.resume import (ResumeJournal, load_journal)
     path = str(tmp_path / "j.journal")
