@@ -14,6 +14,7 @@ fuzz differentials in tests/test_vcf_native.py and by the staged
 (Python engine) vs streamed (native engine) byte-identity suite.
 """
 import ctypes
+import threading
 from typing import Dict, Sequence, Tuple
 
 import numpy as np
@@ -95,6 +96,11 @@ class NativeVCFWriteEngine:
         if not self._sink:
             raise RuntimeError("vcf_sink_create failed")
         self._last_position = -1
+        # every native call runs under this lock against a closed-sink
+        # check: abort() on the error path may race an in-flight write
+        # from the flusher/collector threads, and the C++ side frees the
+        # FILE handles — without the lock that's a use-after-free
+        self._native_lock = threading.Lock()
 
     # ---- batched single-candidate fast path ------------------------------
     def write_sites_batch(self, contig: str, pos, ref_strs, alt_strs, pg,
@@ -124,13 +130,16 @@ class NativeVCFWriteEngine:
         gt_prob = np.ascontiguousarray(gt_prob, np.float64)
         nap = np.ascontiguousarray(nap, np.float64)
         in_repeat = np.ascontiguousarray(in_repeat, np.uint8)
-        rc = self._lib.vcf_sink_write_batch(
-            self._sink, n, contig.encode(), _ptr(pos, ctypes.c_int64),
-            _ptr(ref_off, ctypes.c_int32), ref_buf,
-            _ptr(alt_off, ctypes.c_int32), alt_buf,
-            _ptr(pg, ctypes.c_uint8), _ptr(depth, ctypes.c_int32),
-            _ptr(support, ctypes.c_int32), _ptr(gt_prob, ctypes.c_double),
-            _ptr(nap, ctypes.c_double), _ptr(in_repeat, ctypes.c_uint8))
+        with self._native_lock:
+            if self._sink is None:
+                raise RuntimeError("native VCF sink is closed")
+            rc = self._lib.vcf_sink_write_batch(
+                self._sink, n, contig.encode(), _ptr(pos, ctypes.c_int64),
+                _ptr(ref_off, ctypes.c_int32), ref_buf,
+                _ptr(alt_off, ctypes.c_int32), alt_buf,
+                _ptr(pg, ctypes.c_uint8), _ptr(depth, ctypes.c_int32),
+                _ptr(support, ctypes.c_int32), _ptr(gt_prob, ctypes.c_double),
+                _ptr(nap, ctypes.c_double), _ptr(in_repeat, ctypes.c_uint8))
         if rc != 0:
             raise RuntimeError("native VCF batch write failed")
         self._last_position = int(pos[-1])
@@ -155,9 +164,12 @@ class NativeVCFWriteEngine:
             mask |= (1 << (3 if is_snp else 4)) | (1 << 2)
         else:
             mask |= 1 << 1
-        rc = self._lib.vcf_sink_write_raw(
-            self._sink, mask, contig.encode(), ref_start, ref_end, line,
-            len(line))
+        with self._native_lock:
+            if self._sink is None:
+                raise RuntimeError("native VCF sink is closed")
+            rc = self._lib.vcf_sink_write_raw(
+                self._sink, mask, contig.encode(), ref_start, ref_end, line,
+                len(line))
         if rc != 0:
             raise RuntimeError("native VCF raw write failed")
 
@@ -168,23 +180,28 @@ class NativeVCFWriteEngine:
 
     @property
     def totals(self) -> Tuple[int, int, int, int, int]:
-        if self._sink is None:
-            return self._totals_cache
-        out = (ctypes.c_int64 * 5)()
-        self._lib.vcf_sink_totals(self._sink, out)
-        return tuple(int(v) for v in out)
+        with self._native_lock:
+            if self._sink is None:
+                return self._totals_cache
+            out = (ctypes.c_int64 * 5)()
+            self._lib.vcf_sink_totals(self._sink, out)
+            return tuple(int(v) for v in out)
 
     _totals_cache: Tuple[int, int, int, int, int] = (0, 0, 0, 0, 0)
 
     def close(self) -> None:
-        if self._sink:
-            self._totals_cache = self.totals   # readable after close
-            rc = self._lib.vcf_sink_close(self._sink)
-            self._sink = None
-            if rc != 0:
-                raise RuntimeError("native VCF close failed")
+        with self._native_lock:
+            if self._sink:
+                out = (ctypes.c_int64 * 5)()
+                self._lib.vcf_sink_totals(self._sink, out)
+                self._totals_cache = tuple(int(v) for v in out)
+                rc = self._lib.vcf_sink_close(self._sink)
+                self._sink = None
+                if rc != 0:
+                    raise RuntimeError("native VCF close failed")
 
     def abort(self) -> None:
-        if self._sink:
-            self._lib.vcf_sink_abort(self._sink)
-            self._sink = None
+        with self._native_lock:
+            if self._sink:
+                self._lib.vcf_sink_abort(self._sink)
+                self._sink = None

@@ -249,7 +249,9 @@ void* vcf_sink_create(const char* const* paths5, const char* header,
   for (int i = 0; i < 5; i++) {
     if (!s->files[i].out.open(paths5[i]) ||
         !s->files[i].out.write((const uint8_t*)header, header_len)) {
-      s->failed = true;
+      // same cleanup as vcf_sink_abort for files already opened: close
+      // their FILE* handles and remove the partial .vcf.gz outputs
+      for (int j = 0; j <= i; j++) s->files[j].out.abort();
       delete s;
       return nullptr;
     }

@@ -121,7 +121,10 @@ def call_variant(config: PipelineConfig) -> dict:
         except BaseException:
             # a crashed stream must not leave truncated .vcf.gz files with
             # no .tbi looking like real output — delete the partials (the
-            # resume journal survives for the next run)
+            # resume journal survives for the next run). Order matters:
+            # stop the collector FIRST so nothing is mid-write into the
+            # native sink when abort() frees its file handles.
+            collector.abort()
             if emitter is not None:
                 emitter.abort()
             raise

@@ -600,7 +600,11 @@ class _OrderedEmitter:
         return True
 
     def advance(self) -> None:
-        batched = hasattr(self.writer, "write_sites_batch")
+        # _write_batched/_write_columnar assume candidate_list_to_variant's
+        # single-candidate fast path, valid only for allowed_multiallelics
+        # >= 1 (all presets use 4; 0 drops every site in the Python engine)
+        batched = (hasattr(self.writer, "write_sites_batch")
+                   and (self._config.allowed_multiallelics or 0) >= 1)
         while self._head < self._n:
             with self._lock:
                 if not self._is_final(self._head):
@@ -671,6 +675,7 @@ class StreamingCandidateCollector:
         self._dv: list = []
         self._emitter = ordered_emitter
         self._error: List[BaseException] = []
+        self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -680,7 +685,7 @@ class StreamingCandidateCollector:
             span = _ContigSpanCache(fasta)
             while True:
                 item = self._queue.get()
-                if item is None:
+                if item is None or self._stop:
                     break
                 batch, runs = item
                 if self._emitter is not None:
@@ -691,8 +696,15 @@ class StreamingCandidateCollector:
                     # (ColumnarDv) from the gates to the C++ writer.
                     margin_batch: list = []
                     dv_batch: list = []
-                    use_columnar = hasattr(self._emitter.writer,
-                                           "write_sites_batch")
+                    # the columnar/batched lanes assume the
+                    # single-candidate semantics of
+                    # candidate_list_to_variant, which only hold when
+                    # allowed_multiallelics >= 1 (with 0 the Python
+                    # engine drops every site) — fall back to per-site
+                    # tuples otherwise
+                    use_columnar = (
+                        hasattr(self._emitter.writer, "write_sites_batch")
+                        and (self._config.allowed_multiallelics or 0) >= 1)
                     batch_candidates(
                         self._config, span, *batch, margin_batch, dv_batch,
                         columnar_out=dv_batch if use_columnar else None)
@@ -742,6 +754,23 @@ class StreamingCandidateCollector:
             raise RuntimeError("candidate collector failed") \
                 from self._error[0]
         return self._margin, self._dv
+
+    def abort(self) -> None:
+        """Error path: stop the gate thread and wait it out, so nothing
+        is feeding the emitter/writer when the caller aborts them. The
+        backlog is discarded (the _stop flag short-circuits the loop)."""
+        import queue as _queue
+        self._stop = True
+        while self._thread.is_alive():
+            try:
+                self._queue.put(None, timeout=0.2)
+                break
+            except _queue.Full:
+                try:   # make room: the backlog is dead weight now
+                    self._queue.get_nowait()
+                except _queue.Empty:
+                    pass
+        self._thread.join(timeout=60)
 
 
 def make_ordered_emitter(config: PipelineConfig, output_dir: str,

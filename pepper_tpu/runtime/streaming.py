@@ -461,18 +461,21 @@ def stream_inference(config: PipelineConfig, intervals,
             _put_flush((meta, runner.submit(meta[5])))
     finally:
         stop.set()   # unblock any producer still waiting on the queues
-    # checked sentinel delivery: a dead flusher (its error already in
-    # `errors`) may leave flush_q full — never block forever on it, fall
-    # through to the raise below instead
-    while flush_thread.is_alive():
-        try:
-            flush_q.put(None, timeout=0.2)
-            break
-        except queue.Full:
-            continue
-    flush_thread.join()
-    if journal is not None:
-        journal.close()   # caller deletes the file after stage 3 finishes
+        # ALWAYS stop + join the flusher before returning OR raising: an
+        # abandoned flusher would keep feeding the collector and native
+        # VCF sink while the caller's error path aborts them (freeing the
+        # C++ FILE handles under an in-flight write — use-after-free).
+        # Checked sentinel delivery: a dead flusher (its error already in
+        # `errors`) may leave flush_q full — never block forever on it.
+        while flush_thread.is_alive():
+            try:
+                flush_q.put(None, timeout=0.2)
+                break
+            except queue.Full:
+                continue
+        flush_thread.join()
+        if journal is not None:
+            journal.close()  # caller deletes the file after stage 3 ends
     if errors:
         raise RuntimeError(f"streaming shard failed: {errors[0]}") \
             from errors[0]
