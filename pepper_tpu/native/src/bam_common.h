@@ -22,7 +22,11 @@ struct LibDeflateApi {
   int (*decompress)(void*, const void*, size_t, void*, size_t, size_t*) =
       nullptr;
   void (*free_dec)(void*) = nullptr;
-  bool ok = false;
+  void* (*alloc_comp)(int) = nullptr;
+  size_t (*compress)(void*, const void*, size_t, void*, size_t) = nullptr;
+  void (*free_comp)(void*) = nullptr;
+  bool ok = false;       // decompression available
+  bool ok_comp = false;  // compression available
   LibDeflateApi() {
     void* h = dlopen("libdeflate.so.0", RTLD_NOW);
     if (!h) h = dlopen("libdeflate.so", RTLD_NOW);
@@ -32,6 +36,10 @@ struct LibDeflateApi {
         (decltype(decompress))dlsym(h, "libdeflate_deflate_decompress");
     free_dec = (decltype(free_dec))dlsym(h, "libdeflate_free_decompressor");
     ok = alloc_dec && decompress && free_dec;
+    alloc_comp = (decltype(alloc_comp))dlsym(h, "libdeflate_alloc_compressor");
+    compress = (decltype(compress))dlsym(h, "libdeflate_deflate_compress");
+    free_comp = (decltype(free_comp))dlsym(h, "libdeflate_free_compressor");
+    ok_comp = alloc_comp && compress && free_comp;
   }
 };
 

@@ -20,9 +20,28 @@
 #include <vector>
 #include <zlib.h>
 
+#include "bam_common.h"
+
 namespace {
 
 constexpr size_t FLUSH_AT = 65280;   // BGZFWriter._FLUSH_AT
+
+// Deflate one BGZF payload with libdeflate (~2.5x faster than zlib at
+// the same level); returns cdata length, or -1 when libdeflate is
+// unavailable or the result does not fit `cap`. BOTH the C++ sink and
+// the Python BGZFWriter (via the bgzf_deflate_block export) route every
+// block through this one function, so the two engines stay byte-identical
+// whichever backend the process resolves.
+int64_t bgzf_try_libdeflate(const uint8_t* in, size_t n, uint8_t* out,
+                            size_t cap) {
+  const pep::LibDeflateApi& api = pep::libdeflate_api();
+  if (!api.ok_comp) return -1;
+  static thread_local void* comp = nullptr;
+  if (!comp) comp = api.alloc_comp(6);
+  if (!comp) return -1;
+  size_t r = api.compress(comp, in, n, out, cap);
+  return r == 0 ? -1 : (int64_t)r;
+}
 constexpr uint8_t EOF_MARKER[28] = {
     0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff, 0x06, 0x00,
     0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00,
@@ -46,21 +65,29 @@ struct BgzfOut {
   }
 
   bool write_block(const uint8_t* data, size_t n) {
-    // zlib.compressobj(6, DEFLATED, -15) twin: level 6, raw, memLevel 8
-    z_stream zs{};
-    if (deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
-      return false;
-    std::vector<uint8_t> cdata(deflateBound(&zs, n) + 16);
-    zs.next_in = const_cast<uint8_t*>(data);
-    zs.avail_in = (uInt)n;
-    zs.next_out = cdata.data();
-    zs.avail_out = (uInt)cdata.size();
-    if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+    std::vector<uint8_t> cdata(65536);
+    size_t clen;
+    int64_t r = bgzf_try_libdeflate(data, n, cdata.data(), cdata.size());
+    if (r > 0) {
+      clen = (size_t)r;
+    } else {
+      // zlib.compressobj(6, DEFLATED, -15) twin: level 6, raw, memLevel 8
+      z_stream zs{};
+      if (deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY)
+          != Z_OK)
+        return false;
+      cdata.resize(deflateBound(&zs, n) + 16);
+      zs.next_in = const_cast<uint8_t*>(data);
+      zs.avail_in = (uInt)n;
+      zs.next_out = cdata.data();
+      zs.avail_out = (uInt)cdata.size();
+      if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+        deflateEnd(&zs);
+        return false;
+      }
+      clen = cdata.size() - zs.avail_out;
       deflateEnd(&zs);
-      return false;
     }
-    size_t clen = cdata.size() - zs.avail_out;
-    deflateEnd(&zs);
     size_t block_size = clen + 12 + 6 + 8;
     if (block_size > 65536) return false;
     uint8_t hdr[18] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0,  // MTIME=0
@@ -237,6 +264,15 @@ inline int fmt_g6(char* dst, double v) {
 }  // namespace
 
 extern "C" {
+
+// Python BGZFWriter's fast path: raw-deflate one BGZF payload through the
+// same libdeflate backend as the C++ sink (identical bytes either side).
+// Returns cdata length, or -1 (caller falls back to zlib level 6 — which
+// is also what this process's C++ sink falls back to).
+int64_t bgzf_deflate_block(const uint8_t* in, int64_t n, uint8_t* out,
+                           int64_t cap) {
+  return bgzf_try_libdeflate(in, (size_t)n, out, (size_t)cap);
+}
 
 void* vcf_sink_create(const char* const* paths5, const char* header,
                       int64_t header_len, double snp_q, double snp_q_lc,

@@ -499,12 +499,14 @@ class _OrderedEmitter:
         """Collector thread: bucket this batch's passing candidates
         (tuples or ColumnarDv blocks), credit its rows against their
         intervals, then emit the final prefix."""
-        for cand in new_dv:
-            if isinstance(cand, ColumnarDv):
-                self._bucket_columnar(cand)
-            else:
-                self._buckets.setdefault(
-                    self._interval_of(cand[0], cand[1]), []).append(cand)
+        from pepper_tpu.utils import streamstats
+        with streamstats.CURRENT.timed_cpu("(emit_bucket)"):
+            for cand in new_dv:
+                if isinstance(cand, ColumnarDv):
+                    self._bucket_columnar(cand)
+                else:
+                    self._buckets.setdefault(
+                        self._interval_of(cand[0], cand[1]), []).append(cand)
         with self._lock:
             for idx, k in runs:
                 self._gated[idx] = self._gated.get(idx, 0) + k
@@ -569,16 +571,31 @@ class _OrderedEmitter:
             i = j
         flush_run()
 
+    @staticmethod
+    def _tuple_at(contig, k, pos, refs, alts, pg, depth, freq, gt_prob,
+                  nap, rep, preds):
+        g = int(pg[k])
+        return (contig, int(pos[k]), int(pos[k]) + len(refs[k]), refs[k],
+                [alts[k]], list(ColumnarDv._GT_TAB[g]), int(depth[k]),
+                [int(freq[k])], float(gt_prob[k]), list(preds[k]),
+                [float(nap[k])], bool(rep[k]))
+
     def _write_columnar(self, blocks: list) -> bool:
         """All-array emission of one interval's bucket into the native
-        sink. Returns False when a duplicate position exists (rare
-        multi-candidate site) — the caller falls back to the tuple path,
-        preserving the per-site de-dup semantics."""
+        sink. Positions carrying a single candidate (the overwhelming
+        majority) go down the columnar C++ fast path in maximal runs;
+        positions with multiple candidate rows (~1% — genuine
+        multiallelic sites) are expanded to tuples for the shared
+        per-site renderer, interleaved in position order so the output
+        bytes match the per-site loop exactly. (The old implementation
+        fell back to full tuple expansion whenever ANY duplicate existed
+        — a 1% exception that pushed ~100% of rows through the slow
+        path, the bulk of the unattributed r4 stream cost.)"""
         if len(blocks) == 1:
             b = blocks[0]
             pos, refs, alts = b.pos, b.ref, b.alts
             pg, depth, freq = b.pg, b.depth, b.freq
-            gt_prob, nap, rep = b.gt_prob, b.nap, b.rep
+            gt_prob, nap, rep, preds = b.gt_prob, b.nap, b.rep, b.preds
         else:
             pos = np.concatenate([b.pos for b in blocks])
             order = np.argsort(pos, kind="stable").tolist()
@@ -593,10 +610,40 @@ class _OrderedEmitter:
             gt_prob = np.concatenate([b.gt_prob for b in blocks])[order]
             nap = np.concatenate([b.nap for b in blocks])[order]
             rep = np.concatenate([b.rep for b in blocks])[order]
-        if len(pos) > 1 and np.any(pos[1:] == pos[:-1]):
-            return False
-        self.writer.write_sites_batch(blocks[0].contig, pos, refs, alts,
-                                      pg, depth, freq, gt_prob, nap, rep)
+            preds = np.concatenate([b.preds for b in blocks])[order]
+        contig = blocks[0].contig
+        n = len(pos)
+        if n == 0:
+            return True
+        same = pos[1:] == pos[:-1] if n > 1 else np.zeros(0, bool)
+        if not same.any():
+            self.writer.write_sites_batch(contig, pos, refs, alts, pg,
+                                          depth, freq, gt_prob, nap, rep)
+            return True
+        # rows that share their position with a neighbour form
+        # multi-candidate sites; everything else batches natively
+        in_dup = np.concatenate((same, [False])) \
+            | np.concatenate(([False], same))
+        writer = self.writer
+        i = 0
+        while i < n:
+            if not in_dup[i]:
+                j = i
+                while j < n and not in_dup[j]:
+                    j += 1
+                writer.write_sites_batch(
+                    contig, pos[i:j], refs[i:j], alts[i:j], pg[i:j],
+                    depth[i:j], freq[i:j], gt_prob[i:j], nap[i:j],
+                    rep[i:j])
+            else:
+                j = i + 1
+                while j < n and pos[j] == pos[i]:
+                    j += 1
+                site = [self._tuple_at(contig, k, pos, refs, alts, pg,
+                                       depth, freq, gt_prob, nap, rep,
+                                       preds) for k in range(i, j)]
+                writer.write_site(_dedupe_site(site), self._config)
+            i = j
         return True
 
     def advance(self) -> None:
@@ -688,6 +735,8 @@ class StreamingCandidateCollector:
                 if item is None or self._stop:
                     break
                 batch, runs = item
+                from pepper_tpu.utils import streamstats
+                stats = streamstats.CURRENT
                 if self._emitter is not None:
                     # ordered mode: records are written behind the device
                     # and finish()'s lists go unused — keep only the
@@ -705,13 +754,17 @@ class StreamingCandidateCollector:
                     use_columnar = (
                         hasattr(self._emitter.writer, "write_sites_batch")
                         and (self._config.allowed_multiallelics or 0) >= 1)
-                    batch_candidates(
-                        self._config, span, *batch, margin_batch, dv_batch,
-                        columnar_out=dv_batch if use_columnar else None)
-                    self._emitter.gated(dv_batch, runs)
+                    with stats.timed_cpu("gates"):
+                        batch_candidates(
+                            self._config, span, *batch, margin_batch,
+                            dv_batch,
+                            columnar_out=dv_batch if use_columnar else None)
+                    with stats.timed_cpu("vcf_emit"):
+                        self._emitter.gated(dv_batch, runs)
                 else:
-                    batch_candidates(self._config, span, *batch,
-                                     self._margin, self._dv)
+                    with stats.timed_cpu("gates"):
+                        batch_candidates(self._config, span, *batch,
+                                         self._margin, self._dv)
             fasta.close()
         except BaseException as exc:
             self._error.append(exc)

@@ -31,6 +31,7 @@ import numpy as np
 from pepper_tpu.options import ImageOptions, PipelineConfig
 from pepper_tpu.pipelines.datastore import (ImageStore, PredictionStore,
                                             stack_images)
+from pepper_tpu.utils import streamstats
 
 
 def _log(msg: str) -> None:
@@ -283,9 +284,13 @@ def stream_inference(config: PipelineConfig, intervals,
         journal = ResumeJournal(resume_journal, intervals,
                                 config.model_path, inputs)
 
+    stats = streamstats.reset()   # per-component accounting for this run
     # big fixed batches: fewer dispatches/transfers, same one compilation
-    # (floor overridable for tests that need several flushes on tiny data)
-    batch_floor = int(os.environ.get("PEPPER_TPU_MIN_DEVICE_BATCH", "4096"))
+    # (floor overridable for tests that need several flushes on tiny data).
+    # 16k rather than 4k: on a tunneled chip every flush pays the link's
+    # RTT at sync time, and 4x fewer syncs measurably shortens the stream
+    # (host+device memory cost at [B,33,26] int8 is trivial)
+    batch_floor = int(os.environ.get("PEPPER_TPU_MIN_DEVICE_BATCH", "16384"))
     runner = get_device_runner(config.model_path,
                                max(config.batch_size, batch_floor))
     n_threads = max(1, config.threads)
@@ -316,12 +321,17 @@ def stream_inference(config: PipelineConfig, intervals,
                         idx, (chr_name, start, end) = work.get_nowait()
                     except queue.Empty:
                         return
+                    t0 = time.thread_time()
                     cands = create_region_summary(config, bam, fasta,
                                                   chr_name, start, end)
+                    t1 = time.thread_time()
+                    fields = _batch_fields(cands) if cands else None
+                    t2 = time.thread_time()
+                    stats.add("encode", t1 - t0)
+                    stats.add("batch_fields", t2 - t1)
                     # empty intervals are reported too: the ordered
                     # stage-3 watermark accounts for every interval
-                    _put_result(
-                        (idx, _batch_fields(cands) if cands else None))
+                    _put_result((idx, fields))
         except BaseException as exc:  # fail loudly, never silently drop
             errors.append(exc)
             raise
@@ -349,20 +359,25 @@ def stream_inference(config: PipelineConfig, intervals,
         nonlocal batch_no
         contigs, positions, depths, cand_lists, freqs, _, runs = meta
         n = len(contigs)
-        probs_np = np.asarray(probs)[:n].astype(np.float64)
-        store.write_prediction(batch_no, contigs, positions, depths,
-                               cand_lists, freqs, probs_np)
+        with stats.timed("d2h_wait"):
+            probs_np = np.asarray(probs)[:n].astype(np.float64)
+        with stats.timed_cpu("store_write"):
+            store.write_prediction(batch_no, contigs, positions, depths,
+                                   cand_lists, freqs, probs_np)
         if candidate_collector is not None:
             # freqs pass as a flat array; the gates materialize per-row
             # lists only on the (rare) scalar path
-            candidate_collector.add(
-                contigs, positions, depths, cand_lists,
-                np.ravel(np.asarray(freqs)), probs_np, runs)
+            with stats.timed("collector_put"):
+                candidate_collector.add(
+                    contigs, positions, depths, cand_lists,
+                    np.ravel(np.asarray(freqs)), probs_np, runs)
         batch_no += 1
         if journal is not None and journal_batch:
-            journal.append(("batch", list(contigs), np.asarray(positions),
-                            np.asarray(depths), list(cand_lists),
-                            np.asarray(freqs), probs_np, list(runs)))
+            with stats.timed_cpu("journal"):
+                journal.append(
+                    ("batch", list(contigs), np.asarray(positions),
+                     np.asarray(depths), list(cand_lists),
+                     np.asarray(freqs), probs_np, list(runs)))
             if crash_after and batch_no >= crash_after:
                 os._exit(9)   # test hook: simulate kill -9 mid-stream
 
@@ -452,13 +467,17 @@ def stream_inference(config: PipelineConfig, intervals,
                     interval_idx)
             total += len(positions)
             while buf.rows >= runner.batch:
-                meta, buf = buf.take(runner.batch)
-                _put_flush((meta, runner.submit(meta[5])))
+                with stats.timed_cpu("batch_submit"):
+                    meta, buf = buf.take(runner.batch)
+                    out = runner.submit(meta[5])
+                _put_flush((meta, out))
         for t in threads:
             t.join()
         if buf.rows and not errors:
-            meta, _ = buf.take(buf.rows)
-            _put_flush((meta, runner.submit(meta[5])))
+            with stats.timed_cpu("batch_submit"):
+                meta, _ = buf.take(buf.rows)
+                out = runner.submit(meta[5])
+            _put_flush((meta, out))
     finally:
         stop.set()   # unblock any producer still waiting on the queues
         # ALWAYS stop + join the flusher before returning OR raising: an
@@ -484,4 +503,5 @@ def stream_inference(config: PipelineConfig, intervals,
         image_store.close()
     _log(f"STREAMED ENCODE+INFERENCE: {total} CANDIDATES "
          f"[{time.time() - t0:.1f}s]")
+    _log("STREAM BREAKDOWN (core-seconds): " + stats.summary())
     return total
