@@ -25,7 +25,7 @@ class _EncodeResult(ctypes.Structure):
         ("cand_freqs", ctypes.POINTER(ctypes.c_int32)),
         ("cand_offsets", ctypes.POINTER(ctypes.c_int32)),
         ("cand_buf", ctypes.c_char_p),
-        ("images", ctypes.POINTER(ctypes.c_int32)),
+        ("images", ctypes.POINTER(ctypes.c_int8)),
         ("cand_buf_len", ctypes.c_int64),
         ("window1", ctypes.c_int32),
         ("features", ctypes.c_int32),
@@ -155,7 +155,7 @@ def encode_region_native(
             empty_i = np.zeros(0, np.int64)
             empty = np.zeros(0, np.int32)
             return CandidateBatch(contig, empty_i, empty, [], empty,
-                                  np.zeros((0, win1, feat), np.int32),
+                                  np.zeros((0, win1, feat), np.int8),
                                   empty, empty)
         positions = np.ctypeslib.as_array(res.positions, (n,)).copy()
         depths = np.ctypeslib.as_array(res.depths, (n,)).copy()

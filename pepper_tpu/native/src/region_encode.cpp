@@ -110,7 +110,7 @@ struct Out {
   std::vector<int32_t> depths, type_labels, base_labels, cand_freqs,
       cand_offsets;
   std::vector<char> cand_buf;
-  std::vector<int32_t> images;
+  std::vector<int8_t> images;
 };
 
 // Always-on section timers (5 steady_clock reads per region — noise next
@@ -144,7 +144,11 @@ typedef struct {
   int32_t* cand_freqs;
   int32_t* cand_offsets;  // n+1
   char* cand_buf;
-  int32_t* images;  // n * (window+1) * features
+  // int8 with numpy-astype wrap semantics: every downstream consumer
+  // (HDF5 image store, device transfer) is int8, and wrapping commutes
+  // with the midpoint sign flips (mod-256), so converting at the render
+  // saves 4x the memory traffic of the old int32 buffer
+  int8_t* images;  // n * (window+1) * features
   int64_t cand_buf_len;
   int32_t window1, features;
 } EncodeResult;
@@ -237,11 +241,13 @@ EncodeResult* encode_region(
   // matrix touches a 104-byte row per base). Transposed to row-major once
   // after the walk; downstream logic is unchanged.
   const int64_t stride = L + 1;
-  std::vector<int32_t> cmat((size_t)feature_size * stride, 0);
+  // int16 counters: every count is bounded by max_reads (5000), and the
+  // narrower type doubles the elements per vector op in the walk sweeps
+  std::vector<int16_t> cmat((size_t)feature_size * stride, 0);
   auto col = [&](int c) { return cmat.data() + (size_t)c * stride; };
   std::vector<uint8_t> rok(L);
   for (int64_t i = 0; i < L; i++) rok[i] = ref_ok(ref_seq[i]) ? 1 : 0;
-  std::vector<int32_t> coverage(L, 0), snp_count(L, 0), insert_count(L, 0),
+  std::vector<int16_t> coverage(L, 0), snp_count(L, 0), insert_count(L, 0),
       delete_count(L, 0);
   // SNP alleles on ACGT read bases dominate (one per mismatch); keep them
   // in flat per-position counters and reserve the string-keyed map for
@@ -283,7 +289,7 @@ EncodeResult* encode_region(
   // per position (by strand) during the walk and scattered into the
   // strand columns once per region afterwards. Only mismatching /
   // non-ACGT read bases touch their data-dependent column in the walk.
-  std::vector<int32_t> refhit_fwd(L, 0), refhit_rev(L, 0);
+  std::vector<int16_t> refhit_fwd(L, 0), refhit_rev(L, 0);
   for (const auto& read : reads) {
     if (read.mapq <= 0) continue;
     const bool rev = (read.flag & pep::FLAG_REVERSE) != 0;
@@ -320,12 +326,12 @@ EncodeResult* encode_region(
              (cig[ci + 1].first == pep::OP_I ||
               cig[ci + 1].first == pep::OP_D));
         const int64_t n_main = last_anchors ? n_in - 1 : n_in;
-        int32_t* refc = col(ref_col) + idx0;
-        int32_t* covp = coverage.data() + idx0;
-        int32_t* snpp = snp_count.data() + idx0;
+        int16_t* refc = col(ref_col) + idx0;
+        int16_t* covp = coverage.data() + idx0;
+        int16_t* snpp = snp_count.data() + idx0;
         const char* rp = ref_seq.data() + idx0;
         const uint8_t* rkp = rok.data() + idx0;
-        int32_t* strand_cols[8];
+        int16_t* strand_cols[8];
         for (int o = 0; o < 8; o++)
           strand_cols[o] = col(strand_start + o) + idx0;
         // The span loop is restructured into branch-free passes that g++
@@ -339,7 +345,11 @@ EncodeResult* encode_region(
         }
         uint8_t* m = mbuf.data();
         uint8_t* mm = mmbuf.data();
-        int32_t* rh = (rev ? refhit_rev : refhit_fwd).data() + idx0;
+        int16_t* rh = (rev ? refhit_rev : refhit_fwd).data() + idx0;
+        // single-purpose passes, NOT one fused loop: g++ auto-vectorizes
+        // each of these simple sweeps, while the fused equivalent (5
+        // output streams, mixed u8/i32) measured ~1.5x SLOWER — the spans
+        // are L1-resident so extra sweeps are cheap, vector width is not
         for (int64_t k = 0; k < n_main; k++)
           m[k] = (uint8_t)(qp[k] >= bq_thr);
         for (int64_t k = 0; k < n_main; k++) covp[k] += m[k];
@@ -350,7 +360,7 @@ EncodeResult* encode_region(
         // matching passing bases: batched per-position (scattered into
         // the ref letter's strand column after the walk)
         for (int64_t k = 0; k < n_main; k++)
-          rh[k] += (int32_t)((uint8_t)(m[k] ^ mm[k]) & rkp[k]);
+          rh[k] += (int16_t)((uint8_t)(m[k] ^ mm[k]) & rkp[k]);
         // mismatching / non-ACGT read bases: scalar (rare)
         for (int64_t k = 0; k < n_main; k++) {
           if (mm[k]) {
@@ -408,7 +418,7 @@ EncodeResult* encode_region(
         }
         int64_t lo = std::max(ref_position, region_start);
         int64_t hi = std::min(ref_position + length - 1, region_end);
-        int32_t* starc = col((rev ? REV_START : FWD_START) + 7);  // '*'
+        int16_t* starc = col((rev ? REV_START : FWD_START) + 7);  // '*'
         for (int64_t p = lo; p <= hi; p++) {
           int64_t idx = p - region_start;
           if (rok[idx]) starc[idx] -= 1;
@@ -439,7 +449,7 @@ EncodeResult* encode_region(
   // ---- transpose the columnar accumulator into the row-major matrix ----
   std::vector<int32_t> matrix((size_t)(L + 1) * feature_size, 0);
   {
-    std::vector<const int32_t*> cp(feature_size);
+    std::vector<const int16_t*> cp(feature_size);
     for (int c = 0; c < feature_size; c++) cp[c] = col(c);
     for (int64_t i = 0; i < L; i++) {
       int32_t* row = matrix.data() + (size_t)i * feature_size;
@@ -569,7 +579,7 @@ EncodeResult* encode_region(
 
   int64_t n_cands = 0, cand_bytes = 0;
   for (int64_t idx : filtered) {
-    int depth = std::min(coverage[idx], (int32_t)MAXV);
+    int depth = std::min<int32_t>(coverage[idx], MAXV);
     collect_site(idx);
     for (const auto& [cand, ac] : site)
       if (gate(idx, cand, ac, depth)) {
@@ -591,7 +601,7 @@ EncodeResult* encode_region(
   r->cand_offsets = (int32_t*)malloc(((size_t)n_cands + 1) * 4 + 1);
   r->cand_buf = (char*)malloc((size_t)cand_bytes + 1);
   r->images =
-      (int32_t*)malloc((size_t)n_cands * win1 * feature_size * 4 + 1);
+      (int8_t*)malloc((size_t)n_cands * win1 * feature_size + 1);
   if (!r->positions || !r->depths || !r->type_labels || !r->base_labels ||
       !r->cand_freqs || !r->cand_offsets || !r->cand_buf || !r->images) {
     encode_result_free(r);  // frees whichever members did allocate
@@ -603,7 +613,7 @@ EncodeResult* encode_region(
   int64_t ci = 0, cb = 0;
   for (int64_t idx : filtered) {
     int64_t pos = region_start + idx;
-    int depth = std::min(coverage[idx], (int32_t)MAXV);
+    int depth = std::min<int32_t>(coverage[idx], MAXV);
     collect_site(idx);
     for (const auto& [cand, ac] : site) {
       if (!gate(idx, cand, ac, depth)) continue;
@@ -620,20 +630,22 @@ EncodeResult* encode_region(
         base_label = labels[idx];
       }
 
-      int32_t* img = r->images + (size_t)ci * win1 * feature_size;
-      memset(img, 0, (size_t)win1 * feature_size * 4);
+      int8_t* img = r->images + (size_t)ci * win1 * feature_size;
+      memset(img, 0, (size_t)win1 * feature_size);
       int64_t lo = idx - half;
       int64_t src_lo = std::max<int64_t>(lo, 0);
       int64_t src_hi = std::min<int64_t>(idx + half, L) + 1;
-      if (src_hi > src_lo)
-        memcpy(img + (src_lo - lo) * feature_size,
-               matrix.data() + (size_t)src_lo * feature_size,
-               (size_t)(src_hi - src_lo) * feature_size * 4);
+      if (src_hi > src_lo) {
+        const int32_t* src = matrix.data() + (size_t)src_lo * feature_size;
+        int8_t* dst = img + (src_lo - lo) * feature_size;
+        const int64_t cnt = (src_hi - src_lo) * feature_size;
+        for (int64_t k = 0; k < cnt; k++) dst[k] = (int8_t)src[k];
+      }
 
       char ref_base = ref_seq[idx];
       int mid = half;
       int fwd_c = std::min(ac.fwd, MAXV), rev_c = std::min(ac.rev, MAXV);
-      auto M = [&](int row, int c) -> int32_t& {
+      auto M = [&](int row, int c) -> int8_t& {
         return img[(size_t)row * feature_size + c];
       };
       if (ctype == '1') {
@@ -779,7 +791,7 @@ extern "C" EncodeResult* encode_region_hp(
   std::vector<int32_t> matrix((size_t)(L + 1) * feature_size, 0);
   for (int64_t i = 0; i < L; i++)
     matrix[(size_t)i * feature_size] = ref_value(ref_seq[i]);
-  std::vector<int32_t> coverage(L, 0), snp_count(L, 0), insert_count(L, 0),
+  std::vector<int16_t> coverage(L, 0), snp_count(L, 0), insert_count(L, 0),
       delete_count(L, 0);
   std::vector<std::map<std::string, AlleleCountHP>> alleles(L);
 
@@ -988,10 +1000,10 @@ extern "C" EncodeResult* encode_region_hp(
   // candidate windows (21x48; per-HP supports at the midpoint, no sign flips)
   Out out;
   out.cand_offsets.push_back(0);
-  std::vector<int32_t> image((size_t)win1 * feature_size);
+  std::vector<int8_t> image((size_t)win1 * feature_size);
   for (int64_t idx : filtered) {
     int64_t pos = region_start + idx;
-    int depth = std::min(coverage[idx], (int32_t)MAXV);
+    int depth = std::min<int32_t>(coverage[idx], MAXV);
     for (const auto& [cand, ac] : alleles[idx]) {
       char ctype = cand[0];
       double freq = ac.total / std::max(1.0, (double)depth);
@@ -1015,17 +1027,19 @@ extern "C" EncodeResult* encode_region_hp(
         base_label = labels[idx];
       }
 
-      std::fill(image.begin(), image.end(), 0);
+      std::fill(image.begin(), image.end(), (int8_t)0);
       int64_t lo = idx - half;
       int64_t src_lo = std::max<int64_t>(lo, 0);
       int64_t src_hi = std::min<int64_t>(idx + half, L) + 1;
-      if (src_hi > src_lo)
-        memcpy(image.data() + (src_lo - lo) * feature_size,
-               matrix.data() + (size_t)src_lo * feature_size,
-               (size_t)(src_hi - src_lo) * feature_size * 4);
+      if (src_hi > src_lo) {
+        const int32_t* src = matrix.data() + (size_t)src_lo * feature_size;
+        int8_t* dst = image.data() + (src_lo - lo) * feature_size;
+        const int64_t cnt = (src_hi - src_lo) * feature_size;
+        for (int64_t k = 0; k < cnt; k++) dst[k] = (int8_t)src[k];
+      }
 
       int mid = half;
-      auto M = [&](int r, int c) -> int32_t& {
+      auto M = [&](int r, int c) -> int8_t& {
         return image[(size_t)r * feature_size + c];
       };
       int c1 = std::min(ac.f1, MAXV), c2 = std::min(ac.f2, MAXV);
@@ -1076,7 +1090,12 @@ extern "C" EncodeResult* encode_region_hp(
   r->base_labels = cp32(out.base_labels);
   r->cand_freqs = cp32(out.cand_freqs);
   r->cand_offsets = cp32(out.cand_offsets);
-  r->images = cp32(out.images);
+  auto cp8 = [](const std::vector<int8_t>& v) -> int8_t* {
+    auto* p = (int8_t*)malloc(v.size() + 1);
+    if (p) memcpy(p, v.data(), v.size());
+    return p;
+  };
+  r->images = cp8(out.images);
   r->cand_buf = (char*)malloc(out.cand_buf.size() + 1);
   if (!r->positions || !r->depths || !r->type_labels || !r->base_labels ||
       !r->cand_freqs || !r->cand_offsets || !r->images || !r->cand_buf) {

@@ -90,7 +90,12 @@ def assert_equal(py, nat):
         assert a.candidate_frequency == b.candidate_frequency
         assert a.base_label == b.base_label
         assert a.type_label == b.type_label
-        np.testing.assert_array_equal(a.image, b.image)
+        # the native path emits int8 (numpy-astype wrap semantics — the
+        # dtype every downstream consumer uses); the Python oracle stays
+        # int32, so compare through the same wrap
+        np.testing.assert_array_equal(
+            np.asarray(a.image).astype(np.int8), b.image)
+        assert np.asarray(b.image).dtype == np.int8
 
 
 def test_inference_mode_parity(data):
