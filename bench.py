@@ -253,6 +253,8 @@ def bench_polish(n_threads):
     from pepper_tpu.polish.stitch import StreamingStitcher
     from pepper_tpu.polish.streaming import stream_polish
 
+    from pepper_tpu.native import bamio as _bamio
+    _bamio.polish_prof()   # drain
     t0 = time.time()
     pred_dir = out + "/preds"
     os.makedirs(pred_dir)
@@ -260,16 +262,22 @@ def bench_polish(n_threads):
                                        cache + "/reads.bam", None)
     stitcher = StreamingStitcher(intervals,
                                  out + "/polished_pepper_polished.fa")
+    journal = out + "/polish_resume.journal"   # production default is on
     n_seqs = stream_polish(cache + "/reads.bam", cache + "/ref.fa", model,
                            pred_dir + "/pepper_prediction_0.hdf",
-                           threads=n_threads, stitcher=stitcher)
+                           threads=n_threads, stitcher=stitcher,
+                           resume_journal=journal)
     t_stream = time.time() - t0
     t0 = time.time()
     stitcher.finish()   # watermark already wrote everything but the tail
+    os.remove(journal)
     t_stitch = time.time() - t0
 
+    from pepper_tpu.utils import streamstats
+    nat = _bamio.polish_prof() or {}
     dt = t_stream + t_stitch
-    return size / 1e6 / dt, (t_stream, t_stitch), n_seqs
+    return (size / 1e6 / dt, (t_stream, t_stitch), n_seqs,
+            streamstats.CURRENT, nat)
 
 
 def torch_polish_window_inference(n_seqs):
@@ -495,10 +503,10 @@ def main():
 
     # ---- polish workload --------------------------------------------------
     try:
-        _, cold_split, _ = bench_polish(ncpu)        # cold: includes compile
+        _, cold_split, _, _, _ = bench_polish(ncpu)  # cold: includes compile
         warm = sorted((bench_polish(ncpu) for _ in range(3)),
                       key=lambda r: sum(r[1]))
-        polish_mbps, split, n_seqs = warm[1]         # median of 3 warm
+        polish_mbps, split, n_seqs, pstats, pnat = warm[1]  # median of 3
         t_stream, t_stitch = split
         polish_dt = sum(split)
         cold_dt = sum(cold_split)
@@ -506,6 +514,11 @@ def main():
             f"pileup+consensus {t_stream:.1f}s + stitch {t_stitch:.1f}s) / "
             f"{cold_dt:.1f}s cold (compile+load {cold_dt - polish_dt:.1f}s) "
             f"-> {polish_mbps:.3f} Mbp/s ({n_seqs} sequences)")
+        log(f"polish stream breakdown (core-seconds, median run): "
+            f"{pstats.summary()} | native encode split: "
+            f"fetch {pnat.get('fetch', 0):.2f}s | realign "
+            f"{pnat.get('realign', 0):.2f}s | pileup "
+            f"{pnat.get('pileup', 0):.2f}s")
         # reference-style polish deployment on this host: the staged image
         # gen (~= our stream's host side) + stitch, consensus = N 1-thread
         # torch window loops on top

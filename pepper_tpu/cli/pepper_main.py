@@ -28,6 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
                     default=True,
                     help="Disable the fused pileup+consensus stream; run "
                          "staged stage 1 then stage 2 with a file barrier.")
+    po.add_argument("--no_resume", dest="resume", action="store_false",
+                    default=True,
+                    help="Disable the crash-safe resume journal (a killed "
+                         "streamed run otherwise resumes from completed "
+                         "intervals byte-identically).")
     po.add_argument("--keep_image_artifacts", action="store_true",
                     default=False,
                     help="In streaming mode, also write the stage-1 image "
@@ -77,7 +82,8 @@ def main(argv=None) -> int:
                batch_size=args.batch_size,
                realignment=not args.no_realignment,
                streaming=args.streaming,
-               keep_image_artifacts=args.keep_image_artifacts)
+               keep_image_artifacts=args.keep_image_artifacts,
+               resume=args.resume)
     elif args.sub_command == "make_images":
         from pepper_tpu.polish.make_images import generate_polish_images
         generate_polish_images(args.bam, args.fasta, args.output_dir,

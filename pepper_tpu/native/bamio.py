@@ -140,6 +140,18 @@ def encode_prof() -> Optional[dict]:
                 calls=int(buf[4]))
 
 
+def polish_prof() -> Optional[dict]:
+    """Drain the native polish encoder's cumulative section timers
+    (seconds). Returns {fetch, realign, pileup, calls} or None."""
+    _load()
+    if _lib is None:
+        return None
+    buf = (ctypes.c_double * 4)()
+    _lib.polish_prof_get(buf)
+    return dict(fetch=buf[0], realign=buf[1], pileup=buf[2],
+                calls=int(buf[3]))
+
+
 def build_error() -> Optional[str]:
     _load()
     return _build_error

@@ -22,6 +22,8 @@
 #include "bam_common.h"
 
 #include <algorithm>
+#include <atomic>
+#include <chrono>
 #include <array>
 #include <cstdint>
 #include <cstdlib>
@@ -65,9 +67,35 @@ inline uint8_t np_u8(double v) { return (uint8_t)(int64_t)v; }
 
 constexpr uint16_t FLAG_REVERSE = 16;
 
+// always-on section timers (same pattern as region_encode.cpp): drained
+// from Python via polish_prof_get for the bench's polish wall breakdown
+std::atomic<int64_t> g_pns_fetch{0}, g_pns_realign{0}, g_pns_pileup{0},
+    g_pcalls{0};
+
+struct PSectionTimer {
+  std::chrono::steady_clock::time_point t;
+  PSectionTimer() : t(std::chrono::steady_clock::now()) {}
+  void lap(std::atomic<int64_t>& acc) {
+    auto now = std::chrono::steady_clock::now();
+    acc.fetch_add(
+        std::chrono::duration_cast<std::chrono::nanoseconds>(now - t).count(),
+        std::memory_order_relaxed);
+    t = now;
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+// Drain the cumulative polish-encode section timers (seconds):
+// [fetch+trim+downsample, realign, pileup+render, n_calls].
+void polish_prof_get(double* out4) {
+  out4[0] = g_pns_fetch.exchange(0) * 1e-9;
+  out4[1] = g_pns_realign.exchange(0) * 1e-9;
+  out4[2] = g_pns_pileup.exchange(0) * 1e-9;
+  out4[3] = (double)g_pcalls.exchange(0);
+}
 
 typedef struct {
   int64_t n;          // expanded (position, insert_index) rows
@@ -97,6 +125,8 @@ PolishEncodeResult* polish_encode_region(
   const int64_t rs = region_start, re = region_end;
   const int64_t L = re - rs + 1;
   if (L <= 0) return nullptr;
+  PSectionTimer prof;
+  g_pcalls.fetch_add(1, std::memory_order_relaxed);
 
   // ---- fetch + trim (AlignmentSummarizer.py:300-306: suppl excluded,
   // mapq/baseq filters 0) ----
@@ -134,6 +164,8 @@ PolishEncodeResult* polish_encode_region(
     reads = std::move(sampled);
   }
 
+  prof.lap(g_pns_fetch);
+
   // ---- realignment (polish/realign.py semantics: banded around the BAM
   // anchor, full-matrix fallback, keep-original on failure) ----
   if (realign_flag && ref_len > 0) {
@@ -169,6 +201,8 @@ PolishEncodeResult* polish_encode_region(
       read.pos_end = read.pos + ref_span;
     }
   }
+
+  prof.lap(g_pns_realign);
 
   // ---- pileup (summary.py iterate_over_read) ----
   std::vector<std::array<double, N_FEATURES>> base(
@@ -273,6 +307,7 @@ PolishEncodeResult* polish_encode_region(
       row++;
     }
   }
+  prof.lap(g_pns_pileup);
   return out;
 }
 

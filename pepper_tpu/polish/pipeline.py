@@ -21,7 +21,8 @@ def polish(bam: str, fasta: str, model_path: str, output_dir: str,
            region: Optional[str] = None, threads: int = 1,
            batch_size: int = 128, realignment: bool = True,
            streaming: bool = True,
-           keep_image_artifacts: bool = False) -> str:
+           keep_image_artifacts: bool = False,
+           resume: bool = True) -> str:
     start_time = time.time()
     if not output_dir.endswith("/"):
         output_dir += "/"
@@ -49,13 +50,21 @@ def polish(bam: str, fasta: str, model_path: str, output_dir: str,
         intervals = build_polish_intervals(fasta, bam, region)
         stitcher = StreamingStitcher(
             intervals, output_dir + "PEPPER_pepper_polished.fa")
+        # crash-safe per-interval resume journal: lives in the STABLE
+        # output dir (the prediction dir is run-stamped); deleted only
+        # after the polished FASTA is fully written
+        journal_path = (output_dir + "pepper_polish_resume.journal"
+                        if resume else None)
         try:
             stream_polish(bam, fasta, model_path,
                           prediction_dir + "pepper_prediction_0.hdf",
                           image_store_path, region=region, threads=threads,
                           batch_size=batch_size,
-                          realignment_flag=realignment, stitcher=stitcher)
+                          realignment_flag=realignment, stitcher=stitcher,
+                          resume_journal=journal_path)
             out = stitcher.finish()
+            if journal_path and os.path.exists(journal_path):
+                os.remove(journal_path)   # run complete: nothing to resume
         except BaseException:
             stitcher.abort()   # no truncated-but-plausible FASTA artifacts
             raise

@@ -33,6 +33,7 @@ from pepper_tpu.polish.datastore import (PolishImageStore,
 from pepper_tpu.polish.make_images import (build_polish_intervals,
                                            create_polish_summary,
                                            split_position_index)
+from pepper_tpu.utils import streamstats
 
 
 def _log(msg: str) -> None:
@@ -54,14 +55,21 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
                   region: Optional[str] = None, threads: int = 1,
                   batch_size: int = 128,
                   realignment_flag: bool = True,
-                  stitcher=None) -> int:
+                  stitcher=None,
+                  resume_journal: Optional[str] = None) -> int:
     """Encode 1kb draft intervals and run consensus inference concurrently;
     writes the prediction store consumed by perform_stitch. Returns the
     number of 1000-length sequences inferred.
 
     stitcher: optional StreamingStitcher — flushed predictions also feed
     the contig-watermark stitch, so the polished FASTA is written behind
-    the device and the post-hoc store-read stitch pass disappears."""
+    the device and the post-hoc store-read stitch pass disappears.
+
+    resume_journal: optional path to a crash-safe per-interval journal
+    (runtime/resume.py, "pseq" records): a killed run resumes by
+    replaying completed intervals' consensus sequences from the journal
+    instead of re-encoding them; the polished FASTA is byte-identical to
+    an uninterrupted run. The caller deletes the file on success."""
     from pepper_tpu.runtime.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
@@ -76,10 +84,38 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
 
     intervals = build_polish_intervals(draft_file, bam_file, region)
     _log(f"TOTAL INTERVALS: {len(intervals)}")
+
+    journal = None
+    skip: dict = {}
+    replayed: list = []
+    if resume_journal is not None:
+        from pepper_tpu.runtime import resume as rj
+        inputs = (bam_file, draft_file)
+        loaded = rj.load_journal(resume_journal, intervals, model_path,
+                                 inputs)
+        if loaded is not None:
+            totals_j, recs = loaded
+            skip = rj.completed_polish_intervals(totals_j, recs)
+            replayed = [r for r in recs
+                        if r[0] == "pseq" and r[1] in skip]
+            # drop stale partial records before any new appends (same
+            # double-count hazard as the variant journal)
+            rj.compact_journal(resume_journal, intervals, model_path,
+                               inputs, skip, replayed)
+            if skip:
+                _log(f"RESUME: {len(skip)}/{len(intervals)} INTERVALS "
+                     f"REPLAYED FROM JOURNAL")
+        elif os.path.isfile(resume_journal):
+            os.remove(resume_journal)   # stale/incompatible journal
+        journal = rj.ResumeJournal(resume_journal, intervals, model_path,
+                                   inputs)
+
+    stats = streamstats.reset()   # per-component accounting for this run
     n_threads = max(1, threads)
     work: "queue.Queue" = queue.Queue()
-    for iv in intervals:
-        work.put(iv)
+    for item in enumerate(intervals):
+        if item[0] not in skip:
+            work.put(item)
     results: "queue.Queue" = queue.Queue(maxsize=2 * n_threads)
     errors: List[BaseException] = []
     stop = threading.Event()   # set when the consumer exits: unblocks puts
@@ -104,16 +140,17 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
                     FastaReader(draft_file) as fasta:
                 while not stop.is_set():
                     try:
-                        chr_name, start, end = work.get_nowait()
+                        idx, (chr_name, start, end) = work.get_nowait()
                     except queue.Empty:
                         return
-                    images, labels, positions, chunk_ids = \
-                        create_polish_summary(
-                            bam, fasta, chr_name, start, end,
-                            realignment_flag=realignment_flag)
+                    with stats.timed_cpu("encode"):
+                        images, labels, positions, chunk_ids = \
+                            create_polish_summary(
+                                bam, fasta, chr_name, start, end,
+                                realignment_flag=realignment_flag)
                     # empty intervals are reported too: the streamed
                     # stitcher's contig watermark accounts every interval
-                    _put_result(((chr_name, start, end), images,
+                    _put_result((idx, (chr_name, start, end), images,
                                  labels, positions, chunk_ids))
         except BaseException as exc:  # fail loudly, never silently drop
             errors.append(exc)
@@ -138,19 +175,34 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
 
     def submit(batch_metas, batch_images):
         from pepper_tpu.polish.consensus import pad_consensus_batch
-        labels, _phred = vote_fn(jnp.asarray(
-            pad_consensus_batch(batch_images, batch_size)))
+        with stats.timed_cpu("batch_submit"):
+            labels, _phred = vote_fn(jnp.asarray(
+                pad_consensus_batch(batch_images, batch_size)))
         return batch_metas, labels
 
-    def flush(batch_metas, labels):
-        labels = np.asarray(labels)[:len(batch_metas)]
+    crash_after = int(os.environ.get(
+        "PEPPER_TPU_TEST_CRASH_AFTER_POLISH_FLUSH", "0"))
+    flushed_seqs = [0]
+
+    def flush(batch_metas, labels, journal_recs: bool = True):
+        with stats.timed("d2h_wait"):
+            labels = np.asarray(labels)[:len(batch_metas)]
         for meta, base_labels in zip(batch_metas, labels):
-            contig, start, end, chunk_id, position, index = meta
-            store.write_prediction(contig, start, end, chunk_id,
-                                   position, index, base_labels)
+            contig, start, end, chunk_id, position, index, idx = meta
+            with stats.timed_cpu("store_write"):
+                store.write_prediction(contig, start, end, chunk_id,
+                                       position, index, base_labels)
             if stitcher is not None:
-                stitcher.add(contig, start, end, chunk_id, position, index,
-                             base_labels)
+                with stats.timed_cpu("stitch_feed"):
+                    stitcher.add(contig, start, end, chunk_id, position,
+                                 index, base_labels)
+            if journal is not None and journal_recs:
+                with stats.timed_cpu("journal"):
+                    journal.append(("pseq", idx, start, end, chunk_id,
+                                    position, index, base_labels))
+                flushed_seqs[0] += 1
+                if crash_after and flushed_seqs[0] >= crash_after:
+                    os._exit(9)   # test hook: kill -9 mid-stream
 
     # a dedicated flusher owns the device sync + per-sequence HDF5 group
     # writes + stitcher feed (~600 h5py group creations per 300 kb were
@@ -169,6 +221,26 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
             raise
 
     flush_thread = threading.Thread(target=flusher, daemon=True)
+
+    # Replay completed intervals BEFORE the flusher starts (store +
+    # stitcher single-threaded until then): their sequences feed the
+    # fresh prediction store and the contig-watermark stitcher without
+    # touching the encoder or the device.
+    if skip:
+        by_idx: dict = {}
+        for rec in replayed:
+            by_idx.setdefault(rec[1], []).append(rec)
+        for idx in skip:
+            contig = intervals[idx][0]
+            if stitcher is not None:
+                stitcher.note_interval(contig, skip[idx])
+            for (_tag, _i, start, end, chunk_id, position, index,
+                 bases) in by_idx.get(idx, []):
+                meta = (contig, start, end, chunk_id, position, index, idx)
+                flush([meta], np.asarray(bases)[None, :],
+                      journal_recs=False)
+                total += 1
+
     flush_thread.start()
 
     def _put_flush(item) -> None:
@@ -190,13 +262,17 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
             if item is None:
                 done_sentinels += 1
                 continue
-            region_tuple, imgs, labels_unused, positions, chunk_ids = item
+            (interval_idx, region_tuple, imgs, labels_unused, positions,
+             chunk_ids) = item
             if stitcher is not None:
                 stitcher.note_interval(region_tuple[0], len(imgs))
+            if journal is not None:
+                journal.append(("total", interval_idx, len(imgs)))
             if not imgs:
                 continue
             for i, image in enumerate(imgs):
-                meta = _chunk_meta(region_tuple, positions[i], chunk_ids[i])
+                meta = _chunk_meta(region_tuple, positions[i],
+                                   chunk_ids[i]) + (interval_idx,)
                 if image_store is not None:
                     contig, start, end = region_tuple
                     name = f"{contig}_{start}_{end}_{chunk_ids[i]}"
@@ -227,6 +303,8 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
         except queue.Full:
             continue
     flush_thread.join()
+    if journal is not None:
+        journal.close()   # caller deletes the file after the FASTA closes
     if errors:
         raise RuntimeError(f"polish streaming shard failed: {errors[0]}") \
             from errors[0]
@@ -235,4 +313,5 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
         image_store.close()
     _log(f"STREAMED PILEUP+CONSENSUS: {total} SEQUENCES "
          f"[{time.time() - t0:.1f}s]")
+    _log("POLISH STREAM BREAKDOWN (core-seconds): " + stats.summary())
     return total

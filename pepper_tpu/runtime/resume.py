@@ -28,6 +28,12 @@ Resume correctness invariants:
 Record types (logical tuples):
   ("total", interval_idx, n_rows)                   - encode-side counts
   ("batch", contigs, positions, depths, cand_lists, freqs, probs, runs)
+  ("pseq", interval_idx, start, end, chunk_id, position, index, bases)
+                                                    - one polish sequence
+
+The same journal machinery serves both pipelines: the variant stream
+journals prediction batches ("batch"), the polish stream one record per
+flushed consensus sequence ("pseq").
 """
 import os
 import struct
@@ -63,6 +69,7 @@ def _fingerprint(intervals, model_path: str,
 
 _REC_TOTAL = 1
 _REC_BATCH = 2
+_REC_PSEQ = 3
 
 
 def _pack_arr(a) -> bytes:
@@ -121,6 +128,13 @@ def _encode_record(record) -> bytes:
     if kind == "total":
         return struct.pack("<Bqq", _REC_TOTAL, int(record[1]),
                            int(record[2]))
+    if kind == "pseq":
+        _, idx, start, end, chunk_id, position, index, bases = record
+        return (struct.pack("<Bqqqq", _REC_PSEQ, int(idx), int(start),
+                            int(end), int(chunk_id))
+                + _pack_arr(np.asarray(position, np.int64))
+                + _pack_arr(np.asarray(index, np.int32))
+                + _pack_arr(np.asarray(bases).astype(np.uint8)))
     if kind != "batch":
         raise ValueError(f"unknown journal record {kind!r}")
     contigs, positions, depths, cand_lists, freqs, probs, runs = record[1:]
@@ -160,6 +174,11 @@ def _decode_record(raw: bytes):
     kind = cur.u8()
     if kind == _REC_TOTAL:
         return ("total", cur.i64(), cur.i64())
+    if kind == _REC_PSEQ:
+        idx, start, end, chunk_id = (cur.i64(), cur.i64(), cur.i64(),
+                                     cur.i64())
+        return ("pseq", idx, start, end, chunk_id, _unpack_arr(cur),
+                _unpack_arr(cur), _unpack_arr(cur))
     if kind != _REC_BATCH:
         raise ValueError(f"unknown journal record type {kind}")
     contigs: List[str] = []
@@ -267,9 +286,9 @@ def _valid_length(path: str) -> int:
 def load_journal(path: str, intervals, model_path: str,
                  inputs: Sequence[str] = ()
                  ) -> Optional[Tuple[Dict[int, int], List[tuple]]]:
-    """Replay a journal. Returns (interval totals, batch records) or None
-    when absent / unreadable / written for different intervals, model,
-    or input files (the fingerprint covers BAM/FASTA identity)."""
+    """Replay a journal. Returns (interval totals, tagged data records)
+    or None when absent / unreadable / written for different intervals,
+    model, or input files (the fingerprint covers BAM/FASTA identity)."""
     if not os.path.isfile(path):
         return None
     raws = _read_records(path)
@@ -277,7 +296,7 @@ def load_journal(path: str, intervals, model_path: str,
     if not raws or raws[0] != want:
         return None
     totals: Dict[int, int] = {}
-    batches: List[tuple] = []
+    records: List[tuple] = []
     for raw in raws[1:]:
         try:
             rec = _decode_record(raw)
@@ -285,14 +304,14 @@ def load_journal(path: str, intervals, model_path: str,
             break
         if rec[0] == "total":
             totals[rec[1]] = rec[2]
-        elif rec[0] == "batch":
-            batches.append(rec[1:])
-    return totals, batches
+        else:
+            records.append(rec)   # full tagged tuple
+    return totals, records
 
 
 def compact_journal(path: str, intervals, model_path: str,
                     inputs: Sequence[str], completed: Dict[int, int],
-                    replayed: List[tuple]) -> None:
+                    records: List[tuple]) -> None:
     """Atomically rewrite the journal to hold ONLY the completed
     intervals' totals + their (already replay-filtered) batch rows.
 
@@ -311,8 +330,8 @@ def compact_journal(path: str, intervals, model_path: str,
     raw(ResumeJournal.MAGIC + _fingerprint(intervals, model_path, inputs))
     for idx in sorted(completed):
         raw(_encode_record(("total", idx, completed[idx])))
-    for rec in replayed:
-        raw(_encode_record(("batch",) + tuple(rec)))
+    for rec in records:   # full tagged tuples ("batch", ...) / ("pseq", ...)
+        raw(_encode_record(rec))
     fh.flush()
     os.fsync(fh.fileno())   # the replace must never expose an empty file
     fh.close()
@@ -320,23 +339,41 @@ def compact_journal(path: str, intervals, model_path: str,
 
 
 def completed_intervals(totals: Dict[int, int],
-                        batches: List[tuple]) -> Dict[int, int]:
+                        records: List[tuple]) -> Dict[int, int]:
     """Interval idx -> total rows, for intervals whose every row reached
-    a flushed batch (safe to skip re-encoding)."""
+    a flushed batch (safe to skip re-encoding). Variant layout: counts
+    come from each batch record's interval runs."""
     flushed: Dict[int, int] = {}
-    for rec in batches:
-        for idx, k in rec[6]:
+    for rec in records:
+        if rec[0] != "batch":
+            continue
+        for idx, k in rec[7]:
             flushed[idx] = flushed.get(idx, 0) + k
     return {idx: n for idx, n in totals.items()
             if flushed.get(idx, 0) >= n}
 
 
-def replay_slices(batches: List[tuple], completed: Dict[int, int]):
+def completed_polish_intervals(totals: Dict[int, int],
+                               records: List[tuple]) -> Dict[int, int]:
+    """Polish layout: one "pseq" record per flushed consensus sequence;
+    an interval is complete when all its sequences reached the journal."""
+    flushed: Dict[int, int] = {}
+    for rec in records:
+        if rec[0] == "pseq":
+            flushed[rec[1]] = flushed.get(rec[1], 0) + 1
+    return {idx: n for idx, n in totals.items()
+            if flushed.get(idx, 0) >= n}
+
+
+def replay_slices(records: List[tuple], completed: Dict[int, int]):
     """Yield (contigs, positions, depths, cand_lists, freqs, probs, runs)
     restricted to completed intervals, in original flush order (so
     within-interval candidate order — and therefore the final VCF — is
     byte-identical to an uninterrupted run)."""
-    for contigs, positions, depths, cand_lists, freqs, probs, runs in batches:
+    for rec in records:
+        if rec[0] != "batch":
+            continue
+        _, contigs, positions, depths, cand_lists, freqs, probs, runs = rec
         lo = 0
         keep = []
         keep_runs = []

@@ -275,7 +275,8 @@ def stream_inference(config: PipelineConfig, intervals,
             # new appends: old + new partials for one interval would
             # double-count toward its total on the next resume
             compact_journal(resume_journal, intervals, config.model_path,
-                            inputs, skip, replayed)
+                            inputs, skip,
+                            [("batch",) + tuple(r) for r in replayed])
             if skip:
                 _log(f"RESUME: {len(skip)}/{len(intervals)} INTERVALS "
                      f"REPLAYED FROM JOURNAL")
