@@ -276,6 +276,16 @@ class BamReader:
 
     def __init__(self, path: str):
         self.path = path
+        # CRAM is not supported by this from-spec reader (the reference
+        # silently accepts it through htslib's sam_open auto-detection,
+        # bam_handler.cpp:7). Surface a crisp, actionable error instead
+        # of a confusing BGZF parse failure.
+        with open(path, "rb") as _fh:
+            if _fh.read(4) == b"CRAM":
+                raise ValueError(
+                    f"{path} is a CRAM file — CRAM input is not "
+                    f"supported; convert it first with: samtools view "
+                    f"-b -o {path.rsplit('.', 1)[0]}.bam {path}")
         self._bgzf = BGZFReader(path)
         magic = self._bgzf.read(4)
         if magic != b"BAM\x01":

@@ -2,16 +2,20 @@
 
 Drop-in twin of io/vcf.VCFWriteEngine with one addition: a columnar
 `write_sites_batch` fast path that formats + routes + BGZF-writes +
-tabix-indexes single-candidate sites entirely in C++ — the stage-3 VCF
-emission cost drops from ~14us to <1us per record. Rare multi-candidate
-sites run the shared Python renderer (io/vcf.render_site_line) and enter
-the SAME native sink via a raw-record call, preserving stream order.
+tabix-indexes single-candidate sites entirely in C++ — measured ~5.6 us
+per record end-to-end (format + 2-3 routed BGZF writes + tabix), ~84%
+of which is deflate, vs ~14 us through the Python renderer alone. Rare
+multi-candidate sites run the shared Python renderer
+(io/vcf.render_site_line) and enter the SAME native sink via a
+raw-record call, preserving stream order.
 
-Output bytes are identical to the Python engine (both drive zlib with the
-same parameters, and the C++ formatter replicates Python's float
-conversions via glibc's correctly-rounded printf/strtod) — enforced by
-fuzz differentials in tests/test_vcf_native.py and by the staged
-(Python engine) vs streamed (native engine) byte-identity suite.
+Output bytes are identical to the Python engine: BOTH engines route
+every BGZF block through one shared native compressor (libdeflate when
+resolvable, zlib level 6 otherwise — vcf_write.cpp bgzf_deflate_block),
+and the C++ formatter replicates Python's float conversions via glibc's
+correctly-rounded printf/strtod. Enforced by fuzz differentials in
+tests/test_vcf_native.py and by the staged (Python engine) vs streamed
+(native engine) byte-identity suite.
 """
 import ctypes
 import threading

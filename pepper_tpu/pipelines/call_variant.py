@@ -26,6 +26,13 @@ def validate_inputs(config: PipelineConfig) -> None:
     """CallVariant.py:20-72."""
     if not os.path.isfile(config.bam):
         raise FileNotFoundError(f"BAM file {config.bam} does not exist")
+    with open(config.bam, "rb") as fh:
+        if fh.read(4) == b"CRAM":
+            raise ValueError(
+                f"{config.bam} is a CRAM file — CRAM input is not "
+                f"supported (the reference accepts it via htslib's "
+                f"auto-detection); convert it first with: samtools view "
+                f"-b -o <out.bam> {config.bam}")
     if not os.path.isfile(config.bam + ".bai") and not os.path.isfile(
             config.bam.rsplit(".", 1)[0] + ".bai"):
         raise FileNotFoundError(f"BAM index {config.bam}.bai does not exist")

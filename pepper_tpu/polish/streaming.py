@@ -7,11 +7,12 @@ exactly the barrier the variant side's runtime/streaming.py removed. Here
 producer threads run the fused native polish encoder (GIL released:
 fetch + downsample + realign + pileup in one C++ call), a bounded queue
 feeds fixed-shape device batches of 1000-length sequences, and the
-prediction store is written behind the device. Stitch stays post-hoc — it
-needs contig-complete predictions — but by then the store is already on
-disk, so its input artifact is unchanged: the streamed and staged
-pipelines produce identical polished FASTAs (CI-enforced,
-tests/test_polish.py).
+prediction store is written behind the device. The stitch streams too:
+flushed predictions feed stitch.StreamingStitcher, which writes each
+contig to the FASTA as soon as its last interval flushes (contig
+watermark) — by the stream's end only the final contig's write remains.
+The streamed and staged pipelines produce identical polished FASTAs
+(CI-enforced, tests/test_polish.py).
 
 Image HDF5s become optional artifacts (`image_store_path`), as on the
 variant side — kept for stage re-runnability, never a barrier.

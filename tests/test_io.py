@@ -145,3 +145,22 @@ def test_bad_indices_and_hp(tmp_path):
         # index 2 low qual, index 3 is N, sentinel len+1
         assert r.bad_indices == [2, 3, 7]
         assert r.hp_tag == 2
+
+
+def test_cram_input_rejected_with_clear_error(tmp_path):
+    """CRAM is out of scope for the from-spec reader (the reference opens
+    it via htslib auto-detection, bam_handler.cpp:7): opening one must
+    fail with an actionable message, not a BGZF parse error."""
+    import pytest
+    from pepper_tpu.io.bam_reader import BamReader
+    cram = str(tmp_path / "reads.cram")
+    with open(cram, "wb") as fh:
+        fh.write(b"CRAM\x03\x00" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="CRAM.*samtools view"):
+        BamReader(cram)
+
+    from pepper_tpu.options import PipelineConfig
+    from pepper_tpu.pipelines.call_variant import validate_inputs
+    with pytest.raises(ValueError, match="CRAM"):
+        validate_inputs(PipelineConfig(
+            bam=cram, fasta="x.fa", sub_command="call_variant"))
