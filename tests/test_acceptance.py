@@ -108,3 +108,18 @@ def test_quickstart_acceptance_real_data(tmp_path):
         os.environ["PEPPER_TPU_ACCEPTANCE_MODEL"],
         str(tmp_path / "out"), threads=2)
     assert rc == 0
+
+
+def test_verdict_gates_on_record_diff():
+    """When an expected VCF is provided, the acceptance bar is record
+    equality, not just recall (VERDICT r4 weak #5)."""
+    good = {"SNP": dict(recall=1.0), "INDEL": dict(recall=1.0)}
+    assert acceptance.acceptance_verdict(good) is True
+    assert acceptance.acceptance_verdict(
+        good, dict(identical=10, only_ours=0, only_expected=0)) is True
+    assert acceptance.acceptance_verdict(
+        good, dict(identical=9, only_ours=1, only_expected=0)) is False
+    assert acceptance.acceptance_verdict(
+        good, dict(identical=9, only_ours=0, only_expected=1)) is False
+    low = {"SNP": dict(recall=0.8), "INDEL": dict(recall=1.0)}
+    assert acceptance.acceptance_verdict(low) is False
