@@ -95,3 +95,77 @@ def polish_encode_native(
     finally:
         lib.polish_encode_result_free(res_ptr)
     return image, positions, indices
+
+
+def _bind_multi(lib) -> None:
+    if getattr(lib, "_polish_multi_bound", False):
+        return
+    c = ctypes
+    lib.polish_encode_multi.restype = ctypes.POINTER(
+        ctypes.POINTER(_PolishEncodeResult))
+    lib.polish_encode_multi.argtypes = [
+        c.c_char_p, c.POINTER(c.c_uint64), c.c_int, c.c_int32,
+        c.c_int64, c.c_int64, c.c_int,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_char_p,
+        c.c_int64, c.POINTER(c.c_int64),
+        c.c_int, c.c_int, c.c_int64, c.c_uint32]
+    lib.polish_encode_multi_free.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(_PolishEncodeResult)), c.c_int]
+    lib.polish_encode_multi_free.restype = None
+    lib._polish_multi_bound = True
+
+
+def polish_encode_multi_native(
+        bam, chromosome: str, intervals, span_ref: str, span_start: int,
+        ref_lens, realignment_flag: bool, band: int = 128,
+        max_reads: int = 1500,
+        random_seed: int = AlignerOptions.RANDOM_SEED):
+    """Per-interval pileups for a group of contiguous intervals sharing
+    ONE BAM fetch (polish_encode_multi): removes the ~read_length /
+    interval_length decode amplification of per-interval fetches.
+    `intervals` is [(start, end), ...] (inclusive bounds, ascending) on
+    one contig; `span_ref` is anchored at span_start and covers
+    [span_start, max_end + ALIGNMENT_SAFE_BASES) clipped to the contig;
+    ref_lens[i] is the per-interval realignment reference length exactly
+    as polish_encode_native would pass it. Returns a list of
+    (image, positions, indices) or None per interval — bit-identical to
+    per-interval polish_encode_native calls."""
+    lib = _lib()
+    _bind_multi(lib)
+    ref_id = bam._ref_ids[chromosome]
+    span_end = max(e for _s, e in intervals)
+    chunks = bam._index.chunks_for(ref_id, max(0, span_start), span_end)
+    flat = np.asarray(chunks, dtype=np.uint64).reshape(-1)
+    starts = np.asarray([s for s, _e in intervals], np.int64)
+    ends = np.asarray([e for _s, e in intervals], np.int64)
+    lens = np.asarray(ref_lens, np.int64)
+    n = len(intervals)
+    arr_ptr = lib.polish_encode_multi(
+        bam.path.encode(),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(chunks),
+        ref_id, span_start, span_end, n,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        span_ref.encode(), span_start,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        1 if realignment_flag else 0, band, max_reads, random_seed)
+    if not arr_ptr:
+        raise MemoryError("polish_encode_multi failed")
+    try:
+        out = []
+        for i in range(n):
+            res_ptr = arr_ptr[i]
+            if not res_ptr:
+                out.append(None)
+                continue
+            res = res_ptr.contents
+            if res.n_reads == 0:
+                out.append(None)
+                continue
+            m = int(res.n)
+            out.append((np.ctypeslib.as_array(res.image, (m, 10)).copy(),
+                        np.ctypeslib.as_array(res.positions, (m,)).copy(),
+                        np.ctypeslib.as_array(res.indices, (m,)).copy()))
+        return out
+    finally:
+        lib.polish_encode_multi_free(arr_ptr, n)

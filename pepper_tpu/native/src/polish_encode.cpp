@@ -113,34 +113,15 @@ void polish_encode_result_free(PolishEncodeResult* r) {
   free(r);
 }
 
-// ref_seq is anchored at region_start and covers at least
-// [region_start, region_end + safe_bases) for the realignment pass; the
-// pileup itself never reads it. Region bounds are INCLUSIVE (the Python
-// PolishSummary(ref_start, ref_end) convention).
-PolishEncodeResult* polish_encode_region(
-    const char* bam_path, const uint64_t* chunks, int n_chunks,
-    int32_t ref_id, int64_t region_start, int64_t region_end,
+// Shared post-fetch body: reservoir downsample -> realign -> pileup ->
+// image render. `reads` are already trimmed to [rs, re] (inclusive).
+static PolishEncodeResult* encode_from_reads(
+    std::vector<TrimmedReadN>& reads, int64_t rs, int64_t re,
     const char* ref_seq, int64_t ref_len, int realign_flag, int band,
     int64_t max_reads, uint32_t random_seed) {
-  const int64_t rs = region_start, re = region_end;
   const int64_t L = re - rs + 1;
-  if (L <= 0) return nullptr;
   PSectionTimer prof;
   g_pcalls.fetch_add(1, std::memory_order_relaxed);
-
-  // ---- fetch + trim (AlignmentSummarizer.py:300-306: suppl excluded,
-  // mapq/baseq filters 0) ----
-  std::vector<TrimmedReadN> reads;
-  {
-    TrimmedReadN tr;
-    pep::for_each_record(
-        bam_path, chunks, n_chunks, ref_id, rs, re,
-        /*include_suppl=*/false, /*min_mapq=*/0,
-        [&](const pep::BamRecord& rec) {
-          if (pep::trim_record(rec, rs, re, tr))
-            reads.push_back(std::move(tr));
-        });
-  }
 
   // ---- reservoir downsample (AlignmentSummarizer.py:311-323; fixed
   // numpy RandomState seed, cap = the polish package's MAX_READS) ----
@@ -309,6 +290,92 @@ PolishEncodeResult* polish_encode_region(
   }
   prof.lap(g_pns_pileup);
   return out;
+}
+
+// ref_seq is anchored at region_start and covers at least
+// [region_start, region_end + safe_bases) for the realignment pass; the
+// pileup itself never reads it. Region bounds are INCLUSIVE (the Python
+// PolishSummary(ref_start, ref_end) convention).
+PolishEncodeResult* polish_encode_region(
+    const char* bam_path, const uint64_t* chunks, int n_chunks,
+    int32_t ref_id, int64_t region_start, int64_t region_end,
+    const char* ref_seq, int64_t ref_len, int realign_flag, int band,
+    int64_t max_reads, uint32_t random_seed) {
+  const int64_t rs = region_start, re = region_end;
+  if (re - rs + 1 <= 0) return nullptr;
+  PSectionTimer prof;
+
+  // ---- fetch + trim (AlignmentSummarizer.py:300-306: suppl excluded,
+  // mapq/baseq filters 0) ----
+  std::vector<TrimmedReadN> reads;
+  {
+    TrimmedReadN tr;
+    pep::for_each_record(
+        bam_path, chunks, n_chunks, ref_id, rs, re,
+        /*include_suppl=*/false, /*min_mapq=*/0,
+        [&](const pep::BamRecord& rec) {
+          if (pep::trim_record(rec, rs, re, tr))
+            reads.push_back(std::move(tr));
+        });
+  }
+  prof.lap(g_pns_fetch);
+  return encode_from_reads(reads, rs, re, ref_seq, ref_len, realign_flag,
+                           band, max_reads, random_seed);
+}
+
+// Multi-interval variant: ONE fetch + decode over the whole span, then
+// per-interval trim + downsample + realign + pileup from the in-memory
+// records. With ~10x-read-length intervals (the polish geometry: 1 kb
+// intervals, 8-10 kb reads) the per-interval fetch decodes every read
+// ~9 times; this entry removes that amplification. Outputs are
+// bit-identical to per-interval polish_encode_region calls
+// (tests/test_polish_native.py): records arrive in the same BAM
+// coordinate order, and the per-interval filters replicate
+// for_each_record's (pos < end, pos + ref_span > start).
+//
+// ref_seq is anchored at ref_anchor (= span start); ref_lens[i] is the
+// per-interval realignment reference length exactly as the per-interval
+// caller would pass it.
+PolishEncodeResult** polish_encode_multi(
+    const char* bam_path, const uint64_t* chunks, int n_chunks,
+    int32_t ref_id, int64_t span_start, int64_t span_end, int n_iv,
+    const int64_t* starts, const int64_t* ends, const char* ref_seq,
+    int64_t ref_anchor, const int64_t* ref_lens, int realign_flag,
+    int band, int64_t max_reads, uint32_t random_seed) {
+  PSectionTimer prof;
+  std::vector<pep::BamRecord> recs;
+  pep::for_each_record(
+      bam_path, chunks, n_chunks, ref_id, span_start, span_end,
+      /*include_suppl=*/false, /*min_mapq=*/0,
+      [&](const pep::BamRecord& rec) { recs.push_back(rec); });
+  auto** out =
+      (PolishEncodeResult**)calloc((size_t)n_iv, sizeof(PolishEncodeResult*));
+  if (!out) return nullptr;
+  prof.lap(g_pns_fetch);
+  for (int i = 0; i < n_iv; i++) {
+    const int64_t rs = starts[i], re = ends[i];
+    if (re - rs + 1 <= 0) continue;
+    PSectionTimer tprof;
+    std::vector<TrimmedReadN> reads;
+    TrimmedReadN tr;
+    for (const auto& rec : recs) {
+      // for_each_record's window filters, replicated per interval
+      if (rec.pos >= re) continue;
+      if (rec.pos + rec.ref_span <= rs) continue;
+      if (pep::trim_record(rec, rs, re, tr)) reads.push_back(std::move(tr));
+    }
+    tprof.lap(g_pns_fetch);
+    const int64_t off = rs - ref_anchor;
+    out[i] = encode_from_reads(reads, rs, re, ref_seq + off, ref_lens[i],
+                               realign_flag, band, max_reads, random_seed);
+  }
+  return out;
+}
+
+void polish_encode_multi_free(PolishEncodeResult** arr, int n) {
+  if (!arr) return;
+  for (int i = 0; i < n; i++) polish_encode_result_free(arr[i]);
+  free(arr);
 }
 
 }  // extern "C"

@@ -247,3 +247,48 @@ def generate_polish_images(bam_file: str, draft_file: str, output_dir: str,
                         from exc
     _log(f"FINISHED IMAGE GENERATION [{time.time() - t0:.1f}s]")
     return output_dir
+
+
+def create_polish_summaries_multi(bam: BamReader, fasta: FastaReader,
+                                  chromosome: str, intervals,
+                                  realignment_flag: bool = True):
+    """Native multi-interval twin of create_polish_summary for the
+    streamed producer: ONE BAM fetch + decode serves a group of
+    contiguous intervals (polish_encode_multi), removing the
+    read_length/interval_length decode amplification. Returns one
+    (images, labels, positions, chunk_ids) tuple per interval —
+    bit-identical to per-interval create_polish_summary calls
+    (tests/test_polish_native.py). Falls back to per-interval calls
+    when the native library is unavailable."""
+    from pepper_tpu.native import polish_encoder
+    if os.environ.get("PEPPER_TPU_NO_NATIVE") or \
+            not polish_encoder.available():
+        return [create_polish_summary(bam, fasta, chromosome, s, e,
+                                      realignment_flag=realignment_flag)
+                for s, e in intervals]
+    from pepper_tpu.polish.summary import chunk_expanded_arrays
+    seq_len = PolishImageOptions.SEQ_LENGTH
+    seq_overlap = PolishImageOptions.SEQ_OVERLAP
+    max_reads = PolishImageOptions.MAX_READS_IN_REGION
+    safe = AlignerOptions.ALIGNMENT_SAFE_BASES
+    contig_len = fasta.get_chromosome_sequence_length(chromosome)
+    span_start = min(s for s, _e in intervals)
+    span_ref_end = max(e for _s, e in intervals) + safe
+    span_ref = fasta.get_reference_sequence(chromosome, span_start,
+                                            span_ref_end)
+    # the realignment ref length each per-interval call would have seen
+    # (get_reference_sequence clips [start, stop) to the contig)
+    ref_lens = [max(0, min(e + safe, contig_len) - s)
+                for s, e in intervals]
+    results = polish_encoder.polish_encode_multi_native(
+        bam, chromosome, intervals, span_ref, span_start, ref_lens,
+        realignment_flag, max_reads=max_reads)
+    out = []
+    for res in results:
+        if res is None:
+            out.append(([], [], [], []))
+            continue
+        image, positions, indices = res
+        out.append(chunk_expanded_arrays(image, positions, indices,
+                                         seq_len, seq_overlap))
+    return out

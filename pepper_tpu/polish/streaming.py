@@ -32,7 +32,7 @@ from pepper_tpu.io.fasta import FastaReader
 from pepper_tpu.polish.datastore import (PolishImageStore,
                                          PolishPredictionStore)
 from pepper_tpu.polish.make_images import (build_polish_intervals,
-                                           create_polish_summary,
+                                           create_polish_summaries_multi,
                                            split_position_index)
 from pepper_tpu.utils import streamstats
 
@@ -113,10 +113,22 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
 
     stats = streamstats.reset()   # per-component accounting for this run
     n_threads = max(1, threads)
+    # producers take GROUPS of contiguous same-contig intervals: one BAM
+    # fetch + decode per group (polish_encode_multi) instead of one per
+    # 1 kb interval — reads are ~8-10x longer than an interval, so the
+    # per-interval fetch decoded every read ~9 times
+    group_cap = int(os.environ.get("PEPPER_TPU_POLISH_GROUP", "48"))
     work: "queue.Queue" = queue.Queue()
-    for item in enumerate(intervals):
-        if item[0] not in skip:
-            work.put(item)
+    cur: list = []
+    for idx, iv in enumerate(intervals):
+        if idx in skip:
+            continue
+        if cur and (iv[0] != cur[-1][1][0] or len(cur) >= group_cap):
+            work.put(cur)
+            cur = []
+        cur.append((idx, iv))
+    if cur:
+        work.put(cur)
     results: "queue.Queue" = queue.Queue(maxsize=2 * n_threads)
     errors: List[BaseException] = []
     stop = threading.Event()   # set when the consumer exits: unblocks puts
@@ -141,18 +153,21 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
                     FastaReader(draft_file) as fasta:
                 while not stop.is_set():
                     try:
-                        idx, (chr_name, start, end) = work.get_nowait()
+                        group = work.get_nowait()
                     except queue.Empty:
                         return
+                    chr_name = group[0][1][0]
+                    ivs = [(s, e) for _i, (_c, s, e) in group]
                     with stats.timed_cpu("encode"):
-                        images, labels, positions, chunk_ids = \
-                            create_polish_summary(
-                                bam, fasta, chr_name, start, end,
-                                realignment_flag=realignment_flag)
+                        res_list = create_polish_summaries_multi(
+                            bam, fasta, chr_name, ivs,
+                            realignment_flag=realignment_flag)
                     # empty intervals are reported too: the streamed
                     # stitcher's contig watermark accounts every interval
-                    _put_result((idx, (chr_name, start, end), images,
-                                 labels, positions, chunk_ids))
+                    for (idx, iv), res in zip(group, res_list):
+                        images, labels, positions, chunk_ids = res
+                        _put_result((idx, iv, images, labels, positions,
+                                     chunk_ids))
         except BaseException as exc:  # fail loudly, never silently drop
             errors.append(exc)
             raise

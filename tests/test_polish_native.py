@@ -82,3 +82,47 @@ def test_native_empty_region(dataset):
         # tail of the contig has coverage, so fall back to a synthetic
         # check: encode past nothing is exercised via oracle comparison
         assert out is None or len(out[0]) >= 10
+
+
+def test_multi_interval_matches_per_interval(tmp_path):
+    """polish_encode_multi (one fetch per interval group) must be
+    bit-identical to per-interval polish_encode_region calls."""
+    import numpy as np
+    from pepper_tpu.io.bam_reader import BamReader
+    from pepper_tpu.io.bam_writer import BamWriter
+    from pepper_tpu.io.fasta import FastaReader, write_fasta
+    from pepper_tpu.polish.make_images import (
+        build_polish_intervals, create_polish_summaries_multi,
+        create_polish_summary)
+    from tests.util.synth import (plant_variants, random_genome,
+                                  simulate_reads_fast)
+
+    genome = random_genome(12000, seed=91, n_contigs=2)
+    edits = plant_variants(dict(genome), 6, 2, 2, seed=92)
+    edits = [type(v)(v.contig, v.pos, v.ref, v.alt, (1, 1)) for v in edits]
+    reads = simulate_reads_fast(genome, edits, coverage=20, read_length=4000,
+                                error_rate=0.04, seed=93)
+    fa = str(tmp_path / "draft.fa")
+    write_fasta(fa, genome)
+    bam = str(tmp_path / "reads.bam")
+    with BamWriter(bam, [(n, len(s)) for n, s in genome]) as bw:
+        for rec in reads:
+            bw.write(rec)
+
+    intervals = build_polish_intervals(fa, bam, None)
+    by_contig = {}
+    for contig, s, e in intervals:
+        by_contig.setdefault(contig, []).append((s, e))
+    with BamReader(bam) as b, FastaReader(fa) as f:
+        for contig, ivs in by_contig.items():
+            multi = create_polish_summaries_multi(b, f, contig, ivs)
+            assert len(multi) == len(ivs)
+            for (s, e), got in zip(ivs, multi):
+                want = create_polish_summary(b, f, contig, s, e)
+                g_imgs, _gl, g_pos, g_cid = got
+                w_imgs, _wl, w_pos, w_cid = want
+                assert g_cid == w_cid and len(g_imgs) == len(w_imgs)
+                for gi, wi in zip(g_imgs, w_imgs):
+                    np.testing.assert_array_equal(gi, wi)
+                for gp, wp in zip(g_pos, w_pos):
+                    np.testing.assert_array_equal(gp, wp)
