@@ -56,6 +56,43 @@ def plant_variants(genome: Dict[str, str], n_snp: int, n_ins: int, n_del: int,
                    seed: int = 13) -> List[Variant]:
     rng = random.Random(seed)
     variants: List[Variant] = []
+    total = n_snp + n_ins + n_del
+    if total > 2000:
+        # Mbp-scale fast path: the rejection loop below is
+        # O(total^2 * attempts) (every draw scans the whole `used` set) —
+        # hours at chr-scale counts. Sample an over-provisioned sorted
+        # position set per contig and keep >20bp-spaced ones instead.
+        # (Different draws than the loop path, so small/golden datasets
+        # keep the original algorithm.)
+        import numpy as np
+        nprng = np.random.RandomState(seed)
+        for contig, seq in genome.items():
+            lo, hi = 50, len(seq) - 60
+            want = min(total, (hi - lo) // 25)
+            cand = np.sort(nprng.choice(
+                hi - lo, size=min(hi - lo, want * 3), replace=False) + lo)
+            keep = cand[np.concatenate(([True], np.diff(cand) > 20))][:want]
+            kinds = (["snp"] * n_snp + ["ins"] * n_ins
+                     + ["del"] * n_del)[:len(keep)]
+            rng.shuffle(kinds)
+            for pos, kind in zip(keep.tolist(), kinds):
+                ref_base = seq[pos]
+                gt = rng.choice([(0, 1), (1, 1)])
+                if kind == "snp":
+                    alt = rng.choice([b for b in BASES if b != ref_base])
+                    variants.append(Variant(contig, pos, ref_base, alt, gt))
+                elif kind == "ins":
+                    ins = "".join(rng.choice(BASES)
+                                  for _ in range(rng.randint(1, 4)))
+                    variants.append(Variant(contig, pos, ref_base,
+                                            ref_base + ins, gt))
+                else:
+                    del_len = rng.randint(1, 4)
+                    variants.append(Variant(contig, pos,
+                                            seq[pos:pos + del_len + 1],
+                                            ref_base, gt))
+        variants.sort(key=lambda v: (v.contig, v.pos))
+        return variants
     used = set()
     for contig, seq in genome.items():
         kinds = ["snp"] * n_snp + ["ins"] * n_ins + ["del"] * n_del
