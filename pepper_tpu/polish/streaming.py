@@ -191,8 +191,9 @@ def stream_polish(bam_file: str, draft_file: str, model_path: str,
 
     def submit(batch_metas, batch_images):
         from pepper_tpu.polish.consensus import pad_consensus_batch
+        from pepper_tpu.runtime.placement import place_host_array
         with stats.timed_cpu("batch_submit"):
-            labels, _phred = vote_fn(jnp.asarray(
+            labels, _phred = vote_fn(place_host_array(
                 pad_consensus_batch(batch_images, batch_size)))
         return batch_metas, labels
 

@@ -92,7 +92,8 @@ class DeviceRunner:
                 fwd_shard, mesh=mesh, in_specs=(P(), P("data")),
                 out_specs=P("data")))
         else:
-            self._place = jnp.asarray
+            from pepper_tpu.runtime.placement import place_host_array
+            self._place = place_host_array   # leak-free on CPU backends
 
             @jax.jit
             def fwd(p, x):

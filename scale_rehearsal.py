@@ -7,7 +7,7 @@ extrapolations. This script runs the real CLI at chr20-like scale
 (default 60 Mbp over 3 contigs, ~30x, 10 kb reads) and reports:
 
   - e2e wall + Mbp/s (full streamed 3-stage pipeline, resume journal on)
-  - peak RSS of the pipeline process (ru_maxrss of the subprocess)
+  - peak RSS of the pipeline process (sampled from /proc)
   - prediction-store and resume-journal sizes on disk
   - watermark lag: wall time from the last flushed batch to the final
     VCF close (the stream's "tail")
@@ -22,7 +22,6 @@ import hashlib
 import json
 import os
 import re
-import resource
 import subprocess
 import sys
 import time
@@ -80,6 +79,11 @@ def get_dataset():
 
 _DRIVER = """
 import json, sys
+if {force_cpu!r}:
+    import jax
+    # NB: the tunnel plugin ignores the JAX_PLATFORMS env var; only the
+    # config knob actually selects the CPU backend here
+    jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, {repo!r})
 from pepper_tpu.options import PipelineConfig
 from pepper_tpu.presets import set_parameters
@@ -89,9 +93,12 @@ call_variant(set_parameters(config))
 """
 
 
-def run_pipeline(cache, fasta, bam, model, out_dir, crash_after=0):
+def run_pipeline(cache, fasta, bam, model, out_dir, crash_after=0,
+                 force_cpu=False):
     """One call_variant subprocess; returns (rc, wall, peak_rss_mb,
-    stderr_text)."""
+    stderr_text). Peak RSS is sampled from /proc/<pid>/status (1 Hz) —
+    rusage high-water marks persist across children and would blur runs
+    together."""
     cfg = dict(bam=bam, fasta=fasta, output_dir=out_dir,
                sub_command="call_variant", ont_r9_guppy5_sup=True,
                threads=os.cpu_count() or 2, model_path=model)
@@ -101,17 +108,28 @@ def run_pipeline(cache, fasta, bam, model, out_dir, crash_after=0):
     env = dict(os.environ)
     if crash_after:
         env["PEPPER_TPU_TEST_CRASH_AFTER_FLUSH"] = str(crash_after)
-    before = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
     t0 = time.time()
-    p = subprocess.run(
-        [sys.executable, "-c", _DRIVER.format(repo=REPO), cfg_path],
-        env=env, capture_output=True, timeout=3600)
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         _DRIVER.format(repo=REPO, force_cpu=force_cpu), cfg_path],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    peak_kb = 0
+    while p.poll() is None:
+        try:
+            with open(f"/proc/{p.pid}/status") as fh:
+                for line in fh:
+                    if line.startswith("VmRSS"):
+                        peak_kb = max(peak_kb, int(line.split()[1]))
+                        break
+        except FileNotFoundError:
+            break
+        time.sleep(1.0)
+        if time.time() - t0 > 3600:
+            p.kill()
+            raise TimeoutError("pipeline run exceeded 1h")
+    _out, err = p.communicate()
     wall = time.time() - t0
-    after = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
-    # ru_maxrss of children is a high-water mark; report it when this
-    # child raised it (it does: the pipeline dwarfs everything else)
-    peak_mb = max(before, after) / 1024.0
-    return p.returncode, wall, peak_mb, p.stderr.decode()
+    return p.returncode, wall, peak_kb / 1024.0, err.decode()
 
 
 def vcf_bytes(out_dir):
@@ -152,6 +170,25 @@ def main():
     log(f"uninterrupted: {wall:.1f}s ({MBP / wall:.2f} Mbp/s), "
         f"peak RSS {rss:.0f} MB, store {store_mb:.0f} MB, "
         f"{n_cand} candidates")
+
+    # The default-backend RSS above includes this machine's TPU-tunnel
+    # plugin leaking every staged transfer buffer (see
+    # runtime/placement.py). Measure the PIPELINE's own memory envelope
+    # on a config-forced CPU backend, where the client is leak-free.
+    rc, cwall, cpu_rss, err = run_pipeline(cache, fasta, bam, model,
+                                           cache + "/cpu_rss_out/",
+                                           force_cpu=True)
+    assert rc == 0, err[-3000:]
+    result.update(cpu_backend_wall_s=round(cwall, 1),
+                  cpu_backend_peak_rss_mb=round(cpu_rss, 0),
+                  rss_note=("default-backend RSS includes the TPU-tunnel "
+                            "plugin's per-transfer host-buffer leak "
+                            "(environment artifact, see "
+                            "pepper_tpu/runtime/placement.py); the "
+                            "cpu_backend number is the pipeline's own "
+                            "bounded envelope"))
+    log(f"cpu-backend run: {cwall:.1f}s, peak RSS "
+        f"{cpu_rss:.0f} MB (pipeline's own envelope)")
 
     # ---- kill -9 at ~50%, then byte-identical resume ----------------------
     import math
