@@ -289,10 +289,16 @@ def stream_inference(config: PipelineConfig, intervals,
     stats = streamstats.reset()   # per-component accounting for this run
     # big fixed batches: fewer dispatches/transfers, same one compilation
     # (floor overridable for tests that need several flushes on tiny data).
-    # 16k rather than 4k: on a tunneled chip every flush pays the link's
+    # 16k on accelerators: on a tunneled chip every flush pays the link's
     # RTT at sync time, and 4x fewer syncs measurably shortens the stream
-    # (host+device memory cost at [B,33,26] int8 is trivial)
-    batch_floor = int(os.environ.get("PEPPER_TPU_MIN_DEVICE_BATCH", "16384"))
+    # (HBM cost at [B,33,26] int8 is trivial). On CPU backends RTT is
+    # zero and the XLA-CPU executable workspace scales with the batch
+    # (measured ~9 GB at 16k for the f32 biLSTM) — keep 4k there.
+    import jax
+    default_floor = "4096" if jax.devices()[0].platform == "cpu" \
+        else "16384"
+    batch_floor = int(os.environ.get("PEPPER_TPU_MIN_DEVICE_BATCH",
+                                     default_floor))
     runner = get_device_runner(config.model_path,
                                max(config.batch_size, batch_floor))
     n_threads = max(1, config.threads)

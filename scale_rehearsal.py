@@ -94,14 +94,15 @@ call_variant(set_parameters(config))
 
 
 def run_pipeline(cache, fasta, bam, model, out_dir, crash_after=0,
-                 force_cpu=False):
+                 force_cpu=False, region=None):
     """One call_variant subprocess; returns (rc, wall, peak_rss_mb,
     stderr_text). Peak RSS is sampled from /proc/<pid>/status (1 Hz) —
     rusage high-water marks persist across children and would blur runs
     together."""
     cfg = dict(bam=bam, fasta=fasta, output_dir=out_dir,
                sub_command="call_variant", ont_r9_guppy5_sup=True,
-               threads=os.cpu_count() or 2, model_path=model)
+               threads=os.cpu_count() or 2, model_path=model,
+               region=region)
     cfg_path = os.path.join(cache, "scale_config.json")
     with open(cfg_path, "w") as fh:
         json.dump(cfg, fh)
@@ -156,8 +157,11 @@ def main():
         r"STREAMED ENCODE\+INFERENCE: \d+ CANDIDATES \[([0-9.]+)s\]",
         err).group(1))
     breakdown = re.search(r"STREAM BREAKDOWN \(core-seconds\): (.+)", err)
-    preds = glob.glob(ref_out + "predictions_*/pepper_predictions.hdf")
-    store_mb = sum(os.path.getsize(p) for p in preds) / 1e6
+    preds = sorted(
+        glob.glob(ref_out + "predictions_*/pepper_predictions.hdf"),
+        key=os.path.getmtime)
+    # newest run only: repeated runs leave one run-stamped dir each
+    store_mb = os.path.getsize(preds[-1]) / 1e6 if preds else 0.0
     result.update(
         e2e_wall_s=round(wall, 1),
         mbp_per_s=round(MBP / wall, 3),
@@ -175,11 +179,17 @@ def main():
     # plugin leaking every staged transfer buffer (see
     # runtime/placement.py). Measure the PIPELINE's own memory envelope
     # on a config-forced CPU backend, where the client is leak-free.
+    # One contig (MBP/N_CONTIGS) is enough: the envelope is queue-bound
+    # and plateaus early, while full-length CPU inference takes ~1 h.
+    with open(fasta + ".fai") as fh:
+        cpu_region = fh.readline().split()[0]
     rc, cwall, cpu_rss, err = run_pipeline(cache, fasta, bam, model,
                                            cache + "/cpu_rss_out/",
-                                           force_cpu=True)
+                                           force_cpu=True,
+                                           region=cpu_region)
     assert rc == 0, err[-3000:]
-    result.update(cpu_backend_wall_s=round(cwall, 1),
+    result.update(cpu_backend_mbp=round(MBP / N_CONTIGS, 1),
+                  cpu_backend_wall_s=round(cwall, 1),
                   cpu_backend_peak_rss_mb=round(cpu_rss, 0),
                   rss_note=("default-backend RSS includes the TPU-tunnel "
                             "plugin's per-transfer host-buffer leak "
