@@ -225,27 +225,33 @@ struct SeedScratch {
   std::vector<uint64_t> key;   // table keys (kmer | occupied bit)
   std::vector<int32_t> pos1, pos2;
   std::vector<int32_t> votes;
+  uint32_t mask = 0;
+  int32_t indexed_len = -1;
+  uint64_t indexed_hash = 0;
 };
 thread_local SeedScratch g_seed;
 
-}  // namespace
-
-int ssw_align_one_auto(const char* ref, int32_t ref_len, const char* query,
-                       int32_t query_len, int32_t hint, int32_t band,
-                       int32_t* out_ref_offset, uint8_t* out_ops,
-                       int32_t* out_lens, int32_t cap) {
-  if (ref_len < 2 * KK || query_len < 2 * KK || band <= 0)
-    return ssw_align_one_banded(ref, ref_len, query, query_len, hint, band,
-                                out_ref_offset, out_ops, out_lens, cap);
-
-  // ---- index ref k-mers -------------------------------------------------
-  SeedScratch& s = g_seed;
+// Build (or reuse) the ref k-mer index in `s`. The polish encoder aligns
+// ~30 reads per interval against the SAME reference window — rebuilding
+// the index per read was ~25% of the realign slice, so the index is
+// cached keyed on (ref_len, FNV-1a hash of the window) and rebuilt only
+// when the window changes. Hashing 1-2 kb costs ~0.1 us vs the ~15 us
+// build; a content key cannot go stale the way a pointer key could
+// (freed buffers get reallocated at the same address). Contents are
+// identical either way (bit-equal CIGARs).
+static void build_seed_index(SeedScratch& s, const char* ref,
+                             int32_t ref_len) {
+  uint64_t hash = 1469598103934665603ull;   // FNV-1a 64
+  for (int32_t j = 0; j < ref_len; j++)
+    hash = (hash ^ (uint8_t)ref[j]) * 1099511628211ull;
+  if (s.indexed_hash == hash && s.indexed_len == ref_len) return;
   uint32_t tbl = 64;
   while ((int64_t)tbl < 2 * (int64_t)(ref_len - KK + 1)) tbl <<= 1;
   const uint32_t mask = tbl - 1;
   s.key.assign(tbl, 0);
   s.pos1.assign(tbl, -1);
   s.pos2.assign(tbl, -1);
+  s.mask = mask;
   uint64_t kmer = 0;
   int run = 0;
   constexpr uint64_t KMASK = (1ull << (2 * KK)) - 1;
@@ -265,10 +271,30 @@ int ssw_align_one_auto(const char* ref, int32_t ref_len, const char* query,
       h = (h + 1) & mask;
     }
   }
+  s.indexed_hash = hash;
+  s.indexed_len = ref_len;
+}
+
+}  // namespace
+
+int ssw_align_one_auto(const char* ref, int32_t ref_len, const char* query,
+                       int32_t query_len, int32_t hint, int32_t band,
+                       int32_t* out_ref_offset, uint8_t* out_ops,
+                       int32_t* out_lens, int32_t cap) {
+  if (ref_len < 2 * KK || query_len < 2 * KK || band <= 0)
+    return ssw_align_one_banded(ref, ref_len, query, query_len, hint, band,
+                                out_ref_offset, out_ops, out_lens, cap);
+
+  // ---- index ref k-mers (cached across calls on the same window) --------
+  SeedScratch& s = g_seed;
+  build_seed_index(s, ref, ref_len);
+  const uint32_t mask = s.mask;
 
   // ---- vote read k-mers onto diagonals ----------------------------------
   s.votes.clear();
-  kmer = 0; run = 0;
+  constexpr uint64_t KMASK = (1ull << (2 * KK)) - 1;
+  uint64_t kmer = 0;
+  int run = 0;
   int next_sample = KK - 1;
   for (int32_t i = 0; i < query_len; i++) {
     int b = base2(query[i]);
